@@ -1,0 +1,119 @@
+"""End-to-end MG solve tests: convergence of the telescoping V-cycle and
+the NTL cycle on gauged Laplace and Wilson systems, MG vs unpreconditioned
+minimal-residual (the >= 5x cycle-reduction target), and smoother behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_multigrid.config import MGConfig
+from tpu_multigrid.models import gauge, operators
+from tpu_multigrid.ops.stencil import residual_norm_ratio, apply_D
+from tpu_multigrid.solver.hierarchy import build_hierarchy, point_source, zero_fields
+from tpu_multigrid.solver.driver import solve, solve_with_history, mr_solve
+
+
+def setup_problem(stencil, L=32, nlevels=2, m=0.1, ntl=False, seed=0,
+                  gauged=False, smoother="rbgs", num_iters=10, null_iters=100):
+    cfg = MGConfig(L=L, stencil=stencil, m=m, nlevels=nlevels, ntl=ntl,
+                   num_iters=num_iters, null_iters=null_iters,
+                   smoother=smoother, res_threshold=1e-10)
+    if gauged:
+        rng = np.random.default_rng(seed)
+        U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, L, L)),
+                                    cfg.cdtype)
+    else:
+        U = gauge.identity_gauge(L, cfg.cdtype)
+    D = operators.assemble(stencil, U, m)
+    hier = build_hierarchy(D, cfg)
+    b = point_source(cfg)
+    return cfg, hier, D, b
+
+
+def test_laplace_vcycle_converges():
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=2, m=0.05)
+    out = solve(hier, b, cfg, max_iters=200)
+    assert out.converged, f"residual {out.resmag}"
+    # Solution actually solves the system.
+    res = float(residual_norm_ratio(D, jnp.asarray(out.phi), b))
+    assert res < 1e-9
+
+
+def test_laplace_gauged_vcycle_converges():
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=2, m=0.05,
+                                    gauged=True)
+    out = solve(hier, b, cfg, max_iters=300)
+    assert out.converged, f"residual {out.resmag}"
+
+
+def test_wilson_vcycle_converges():
+    cfg, hier, D, b = setup_problem("wilson", L=16, nlevels=2, m=0.1,
+                                    gauged=True)
+    out = solve(hier, b, cfg, max_iters=300)
+    assert out.converged, f"residual {out.resmag}"
+
+
+@pytest.mark.parametrize("min_res", [True, False])
+def test_ntl_converges(min_res):
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=2, m=0.05,
+                                    ntl=True)
+    cfg = cfg.replace(min_res=min_res)
+    out = solve_with_history(hier, b, cfg, max_iters=200)
+    assert out.converged, f"residual {out.resmag}"
+    assert out.ntl_weights.shape[1] == cfg.n_copies
+    if min_res:
+        # weights should not all be exactly the plain average
+        assert not np.allclose(out.ntl_weights[0], 0.25)
+
+
+def test_ntl_wilson_converges():
+    cfg, hier, D, b = setup_problem("wilson", L=16, nlevels=2, m=0.1,
+                                    gauged=True, ntl=True)
+    out = solve(hier, b, cfg, max_iters=300)
+    assert out.converged, f"residual {out.resmag}"
+
+
+def test_mg_beats_mr_by_5x():
+    """BASELINE north star: >= 5x cycle-count reduction vs unpreconditioned
+    minimal residual at 1e-8 (here on a small near-critical laplace)."""
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=3, m=0.01,
+                                    num_iters=4)
+    cfg = cfg.replace(res_threshold=1e-8)
+    out = solve(hier, b, cfg, max_iters=1000)
+    assert out.converged
+    _, mr_iters, mr_res = mr_solve(D, b, tol=1e-8, max_iters=200000)
+    assert mr_res < 1e-8
+    assert mr_iters >= 5 * out.iters, (mr_iters, out.iters)
+
+
+def test_jacobi_smoother_converges():
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=2, m=0.1,
+                                    smoother="jacobi", num_iters=20)
+    out = solve(hier, b, cfg, max_iters=300)
+    assert out.converged
+
+
+def test_gs_lex_matches_relaxation_property():
+    """Lexicographic GS reduces the residual at least as fast as Jacobi on
+    a small problem (sanity check of the wavefront implementation)."""
+    from tpu_multigrid.ops.smoothers import smooth
+    from tpu_multigrid.ops.stencil import site_inverse
+    cfg = MGConfig(L=8, stencil="laplace", m=0.5, nlevels=1)
+    U = gauge.identity_gauge(8, cfg.cdtype)
+    D = operators.assemble("laplace", U, cfg.m)
+    Dinv = site_inverse(D[0])
+    b = point_source(cfg)
+    phi0 = jnp.zeros_like(b)
+    r_j = float(residual_norm_ratio(D, smooth(D, Dinv, phi0, b, 10, "jacobi"), b))
+    r_g = float(residual_norm_ratio(D, smooth(D, Dinv, phi0, b, 10, "gs_lex"), b))
+    assert r_g <= r_j * 1.01
+    assert r_g < 1.0
+
+
+def test_history_monotone_tail():
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=2, m=0.1)
+    out = solve_with_history(hier, b, cfg, max_iters=100)
+    assert out.converged
+    h = out.history
+    # after the first few cycles the residual decreases monotonically
+    assert np.all(np.diff(h[2:]) < 0)

@@ -1,0 +1,81 @@
+"""Gauge-covariant 5-point stencil application (SpMV) and residuals.
+
+This is the hot kernel of the whole library (reference Level::f_apply_D /
+f_residue, level.h:61-77, 251-265). Fields are dof-major, lattice-last:
+``v[n, L, L]``; the stencil is ``D[5, n, n, L, L]``.
+
+The XLA path below expresses the SpMV as 5 shifted (n x n)·(n) site-local
+contractions — each an elementwise multiply-add over L x L planes, which XLA
+fuses into a single bandwidth-bound loop over VPU tiles. A Pallas kernel
+version (ops/pallas_stencil.py) provides the roofline path with explicit
+halo handling in VMEM.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SAME, XP, XM, YP, YM
+
+# Lattice axes: x = -2, y = -1. Site (x+1, y) of field v is roll(v, -1, -2).
+_SHIFTS = {XP: (-1, -2), XM: (1, -2), YP: (-1, -1), YM: (1, -1)}
+
+
+def shift(v: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Return the field of neighbor values in direction d (d in {1..4})."""
+    s, ax = _SHIFTS[d]
+    return jnp.roll(v, s, axis=ax)
+
+
+def _site_matvec(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Per-site (n x n) @ (n): M[n,n,L,L] v[n,L,L] -> [n,L,L]."""
+    return jnp.einsum("ijxy,jxy->ixy", M, v)
+
+
+def apply_hop(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Off-diagonal part: sum_{mu != 0} D_mu(x) v(x + mu)."""
+    out = _site_matvec(D[XP], shift(v, XP))
+    out += _site_matvec(D[XM], shift(v, XM))
+    out += _site_matvec(D[YP], shift(v, YP))
+    out += _site_matvec(D[YM], shift(v, YM))
+    return out
+
+
+def apply_D(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Full SpMV: (D v)(x) = D0(x) v(x) + sum_mu D_mu(x) v(x+mu).
+
+    Matches reference Level::f_apply_D (level.h:251-265).
+    """
+    return _site_matvec(D[SAME], v) + apply_hop(D, v)
+
+
+def residual(D: jnp.ndarray, phi: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """b - D phi (reference Level::f_residue, level.h:61-77)."""
+    return r - apply_D(D, phi)
+
+
+def residual_norm_ratio(D, phi, r) -> jnp.ndarray:
+    """||r - D phi|| / ||r|| (reference f_get_residue_mag, level.h:79-98)."""
+    res = residual(D, phi, r)
+    num = jnp.sqrt(jnp.sum(jnp.abs(res) ** 2))
+    den = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
+    return num / den
+
+
+def site_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Per-site inverse of the diagonal block D0: [n,n,L,L] -> [n,n,L,L].
+
+    Precomputed once per level — the reference recomputes D0.inverse() per
+    site per sweep (level.h:116), a known inefficiency we do not replicate.
+    """
+    n = M.shape[0]
+    if n == 1:
+        return 1.0 / M
+    # Move dof axes last for batched linalg: [L,L,n,n]
+    Mm = jnp.moveaxis(M, (0, 1), (-2, -1))
+    inv = jnp.linalg.inv(Mm)
+    return jnp.moveaxis(inv, (-2, -1), (0, 1))
+
+
+def nnz_per_site(n: int) -> int:
+    """Nonzeros of the 5-point block stencil per lattice site."""
+    return 5 * n * n

@@ -1,0 +1,157 @@
+"""Multigrid cycles: telescoping V-cycle and the non-telescoping (NTL)
+cycle with minimal-residual recombination of quadrant copies.
+
+Pure functions of (hierarchy, phis, b) -> (phis, aux); the level loop is
+unrolled in Python (nlevels <= ~7) so every level's shapes stay static
+under jit.
+
+Cycle shape (reference f_MG_simple / f_MG_ntl, modules_main.h:255-280,
+386-439): sawtooth V — relax `num_iters` sweeps at each level on the way
+down (after which the residual is restricted), and again on the way up
+(after which the error is prolongated and added).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MGConfig
+from ..ops.stencil import apply_D, residual
+from ..ops.smoothers import smooth
+from ..ops.transfer import restrict, prolong
+from .hierarchy import Hierarchy
+
+
+def _relax(lev, phi, r, cfg: MGConfig):
+    return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, cfg.smoother,
+                  cfg.omega)
+
+
+def v_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
+    """One telescoping V-cycle (reference f_MG_simple).
+
+    phis: per-level solution tuple; phis[0] is the running fine solution,
+    coarse entries are error corrections (zeroed after each prolongation).
+    Returns updated phis. nlevels=0 degenerates to pure relaxation.
+    """
+    L = hier.levels
+    n = cfg.nlevels
+    phis = list(phis)
+    rs = [b] + [None] * n
+
+    if n == 0:
+        phis[0] = _relax(L[0], phis[0], b, cfg)
+        return tuple(phis)
+
+    bx, by = cfg.block_x, cfg.block_y
+    for l in range(n):
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        res = residual(L[l].D, phis[l], rs[l])
+        rs[l + 1] = restrict(L[l].phi_null, res, cfg.quad, bx, by)
+        phis[l + 1] = jnp.zeros_like(phis[l + 1])
+
+    for l in range(n, -1, -1):
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        if l > 0:
+            corr = prolong(L[l - 1].phi_null, phis[l], cfg.quad, bx, by)
+            phis[l - 1] = phis[l - 1] + corr
+            phis[l] = jnp.zeros_like(phis[l])
+
+    return tuple(phis)
+
+
+def min_res_weights(D_f, r_f, xs: jnp.ndarray, cfg: MGConfig):
+    """Minimal-residual recombination weights for the NTL copies.
+
+    xs: [n_copies, nf, S, S] prolongated candidate corrections at the
+    next-to-coarsest level. Builds A_pq = <x_p, D x_q> and the source
+    src_p = <x_p, r> (laplace) or <r, D x_p> (wilson) — the reference's
+    deliberate asymmetry (modules_main.h:336-340 vs :358-366), selectable
+    via cfg.minres_src — then solves the n_copies x n_copies system
+    (reference uses colPivHouseholderQr, modules_main.h:371).
+    """
+    Dx = jax.vmap(lambda x: apply_D(D_f, x))(xs)          # [q, nf, S, S]
+    A = jnp.einsum("pnxy,qnxy->pq", jnp.conj(xs), Dx)
+    mode = cfg.minres_src
+    if mode == "auto":
+        mode = "r_dot_dx" if cfg.stencil == "wilson" else "x_dot_r"
+    if mode == "x_dot_r":
+        src = jnp.einsum("pnxy,nxy->p", jnp.conj(xs), r_f)
+    elif mode == "r_dot_dx":
+        src = jnp.einsum("nxy,pnxy->p", jnp.conj(r_f), Dx)
+    else:
+        raise ValueError(f"bad minres_src {mode!r}")
+    return jnp.linalg.solve(A, src)
+
+
+def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
+    """One non-telescoping cycle (reference f_MG_ntl, modules_main.h:386-439).
+
+    At the coarsest transition the residual is restricted 4 independent
+    ways (one per blocking quadrant); the 4 coarse problems are solved
+    concurrently (vmap over the copy axis — they are independent by
+    construction) and their prolongated corrections recombined with
+    minimal-residual weights.
+
+    Returns (phis, a_weights).
+    """
+    L = hier.levels
+    ntl = hier.ntl
+    n = cfg.nlevels
+    phis = list(phis)
+    rs = [b] + [None] * n
+    bx, by = cfg.block_x, cfg.block_y
+    nq = cfg.n_copies
+
+    # Down sweep.
+    for l in range(n - 1):
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        res = residual(L[l].D, phis[l], rs[l])
+        rs[l + 1] = restrict(L[l].phi_null, res, cfg.quad, bx, by)
+        phis[l + 1] = jnp.zeros_like(phis[l + 1])
+
+    # Transition level: restrict 4 independent ways.
+    l = n - 1
+    phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+    res = residual(L[l].D, phis[l], rs[l])
+    r_q = jnp.stack([
+        restrict(ntl.phi_null[q], res, q + 1, bx, by) for q in range(nq)])
+
+    # Coarse solves, all copies concurrently.
+    phi_q0 = jnp.zeros((nq,) + phis[n].shape, phis[n].dtype)
+    relax_q = jax.vmap(
+        lambda D, Dinv, p, r: smooth(D, Dinv, p, r, cfg.num_iters,
+                                     cfg.smoother, cfg.omega))
+    phi_q = relax_q(ntl.D[:nq], ntl.D0inv[:nq], phi_q0, r_q)
+
+    # Prolongate each copy to the next-to-coarsest level.
+    xs = jnp.stack([
+        prolong(ntl.phi_null[q], phi_q[q], q + 1, bx, by) for q in range(nq)])
+
+    # Recombination weights.
+    if cfg.min_res:
+        a = min_res_weights(L[l].D, rs[l], xs, cfg)
+    else:
+        a = jnp.full((nq,), 1.0 / nq, dtype=xs.dtype)
+
+    phis[l] = phis[l] + jnp.einsum("q,qnxy->nxy", a, xs)
+
+    # Up sweep from the next-to-coarsest level.
+    for l in range(n - 1, -1, -1):
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        if l > 0:
+            corr = prolong(L[l - 1].phi_null, phis[l], cfg.quad, bx, by)
+            phis[l - 1] = phis[l - 1] + corr
+            phis[l] = jnp.zeros_like(phis[l])
+
+    return tuple(phis), a
+
+
+def cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
+    """Dispatch: NTL if configured, else plain V-cycle. Returns (phis, a)."""
+    if cfg.ntl and cfg.nlevels > 0:
+        return ntl_cycle(hier, phis, b, cfg)
+    phis = v_cycle(hier, phis, b, cfg)
+    return phis, jnp.zeros((cfg.n_copies,), dtype=b.dtype)

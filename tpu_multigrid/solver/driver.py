@@ -1,0 +1,144 @@
+"""Outer solve drivers.
+
+`solve` = the reference's f_perform_MG (modules_main.h:442-481): iterate MG
+cycles until the relative residual at level 0 drops below res_threshold
+(1e-13 default), aborting on divergence (> 1e6). Two modes:
+
+- fast mode: the whole outer loop is one jitted `lax.while_loop` — no host
+  round-trips; used for benchmarking.
+- history mode: Python loop, one jitted cycle per iteration, recording the
+  residual history (and per-level residuals + NTL weights) for the
+  analysis-notebook output surface.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MGConfig
+from ..ops.stencil import residual, residual_norm_ratio
+from .cycles import cycle
+from .hierarchy import Hierarchy, zero_fields
+
+
+@dataclasses.dataclass
+class SolveResult:
+    phi: np.ndarray
+    iters: int
+    resmag: float
+    converged: bool
+    history: Optional[np.ndarray] = None          # residual per iteration
+    ntl_weights: Optional[np.ndarray] = None      # [iters, n_copies]
+    level_residuals: Optional[list] = None
+
+
+def _cycle_and_res(hier, phis, b, cfg):
+    phis, a = cycle(hier, phis, b, cfg)
+    resmag = residual_norm_ratio(hier.levels[0].D, phis[0], b)
+    return phis, a, resmag
+
+
+def solve(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
+          phis0=None, max_iters: Optional[int] = None) -> SolveResult:
+    """Fast-mode solve: jitted while_loop over cycles."""
+    max_iters = max_iters or cfg.max_iters
+    phis = phis0 if phis0 is not None else zero_fields(cfg)
+
+    def run(hier, phis, b):
+        def cond(state):
+            phis, it, res = state
+            return (it < max_iters) & (res > cfg.res_threshold) \
+                & (res < cfg.div_threshold)
+
+        def body(state):
+            phis, it, _ = state
+            phis, _, res = _cycle_and_res(hier, phis, b, cfg)
+            return phis, it + 1, res
+
+        res0 = jnp.asarray(1.0, dtype=b.real.dtype)
+        return jax.lax.while_loop(cond, body, (phis, 0, res0))
+
+    from ..utils.compile import aot_call
+    phis, iters, resmag = aot_call(run, hier, phis, b,
+                                   key=("solve", cfg, max_iters))
+    resmag = float(resmag)
+    return SolveResult(phi=np.asarray(phis[0]), iters=int(iters),
+                       resmag=resmag,
+                       converged=resmag < cfg.res_threshold)
+
+
+def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
+                       phis0=None, max_iters: Optional[int] = None,
+                       writer=None) -> SolveResult:
+    """History-mode solve: records the relative-residual trajectory (and,
+    via `writer`, the reference's per-iteration output surface)."""
+    max_iters = max_iters or cfg.max_iters
+    phis = phis0 if phis0 is not None else zero_fields(cfg)
+    from ..utils.compile import aot_call
+    step = lambda h, p, bb: aot_call(
+        lambda h, p, bb: _cycle_and_res(h, p, bb, cfg), h, p, bb,
+        key=("cycle", cfg))
+
+    history, weights = [], []
+    converged = False
+    resmag = float("inf")
+    it = 0
+    for it in range(1, max_iters + 1):
+        phis, a, res = step(hier, phis, b)
+        resmag = float(res)
+        history.append(resmag)
+        weights.append(np.asarray(a))
+        if writer is not None and (it - 1) % cfg.write_interval == 0:
+            writer.record(it, hier, phis, b, np.asarray(a))
+        if resmag < cfg.res_threshold:
+            converged = True
+            break
+        if resmag > cfg.div_threshold or not np.isfinite(resmag):
+            break
+
+    return SolveResult(phi=np.asarray(phis[0]), iters=it, resmag=resmag,
+                       converged=converged,
+                       history=np.asarray(history),
+                       ntl_weights=np.asarray(weights))
+
+
+def mr_solve(D, b, tol: float = 1e-8, max_iters: int = 100000):
+    """Unpreconditioned minimal-residual iteration — the baseline the MG
+    solve must beat by >= 5x in cycle count (BASELINE.json north star).
+
+    x_{k+1} = x_k + alpha r_k with alpha = <D r, r> / <D r, D r>.
+    Returns (x, iters, relres).
+    """
+    from ..ops.stencil import apply_D
+
+    def run(D, b):
+        bn = jnp.sqrt(jnp.sum(jnp.abs(b) ** 2))
+
+        def cond(s):
+            x, r, it = s
+            rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
+            return (it < max_iters) & (rn / bn > tol) & jnp.isfinite(rn)
+
+        def body(s):
+            x, r, it = s
+            Dr = apply_D(D, r)
+            alpha = (jnp.sum(jnp.conj(Dr) * r)
+                     / jnp.sum(jnp.conj(Dr) * Dr))
+            x = x + alpha * r
+            r = r - alpha * Dr
+            return x, r, it + 1
+
+        x0 = jnp.zeros_like(b)
+        return jax.lax.while_loop(cond, body, (x0, b, 0))
+
+    from ..utils.compile import aot_call
+    x, r, iters = aot_call(run, D, b, key=("mr", D.shape, str(D.dtype), tol,
+                                           max_iters))
+    bn = float(jnp.sqrt(jnp.sum(jnp.abs(b) ** 2)))
+    rel = float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2)) / bn)
+    return x, int(iters), rel

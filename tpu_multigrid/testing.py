@@ -1,0 +1,116 @@
+"""Compiled-in self-test suite of the reference, as reusable property
+checks (reference tests.h:5-295; tolerance Epsilon = 1e-12).
+
+Each function returns a scalar "violation" (max abs deviation) so callers —
+pytest, or the runtime pre-solve check pass f_MG_tests — can assert
+against the reference tolerance.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MGConfig
+from .models.operators import gamma5
+from .ops.stencil import apply_D, shift
+from .ops.transfer import restrict, prolong
+from .solver.hierarchy import Hierarchy
+
+EPSILON = 1.0e-12
+
+
+def test1_restriction_prolongation(phi_null, vec_c, quad, bx, by):
+    """P (P^dagger v_c) = v_c for any coarse v_c (tests.h:5-43) —
+    requires block-orthonormal near-null rows. Returns max abs diff."""
+    vf = prolong(phi_null, vec_c, quad, bx, by)
+    back = restrict(phi_null, vf, quad, bx, by)
+    return jnp.max(jnp.abs(back - vec_c))
+
+
+def test2_galerkin(D_c, D_f, phi_null, vec_c, quad, bx, by):
+    """D_c v = P (D_f (P^dagger v)) for random coarse v (tests.h:46-92)."""
+    vf = prolong(phi_null, vec_c, quad, bx, by)
+    Dv = apply_D(D_f, vf)
+    lhs = restrict(phi_null, Dv, quad, bx, by)
+    rhs = apply_D(D_c, vec_c)
+    return jnp.max(jnp.abs(lhs - rhs))
+
+
+def test3_hermiticity(D, stencil: str):
+    """Element-wise stencil (gamma5-)hermiticity (tests.h:94-182).
+
+    laplace: D_1(x) = D_2(x+x)^H, D_3(x) = D_4(x+y)^H, D_0 = D_0^H.
+    wilson:  same with gamma5 M^H gamma5.
+    """
+    n = D.shape[1]
+
+    def adj(M):  # conj-transpose of per-site blocks [n,n,L,L]
+        return jnp.conj(jnp.swapaxes(M, 0, 1))
+
+    def g5adj(M):
+        g5 = jnp.asarray(gamma5(n), dtype=D.dtype)
+        return jnp.einsum("ij,jkxy,kl->ilxy", g5, adj(M), g5)
+
+    trans = adj if stencil == "laplace" else g5adj
+    worst = 0.0
+    worst = jnp.maximum(worst, jnp.max(jnp.abs(D[1] - trans(shift(D[2], 1)))))
+    worst = jnp.maximum(worst, jnp.max(jnp.abs(D[3] - trans(shift(D[4], 3)))))
+    worst = jnp.maximum(worst, jnp.max(jnp.abs(D[0] - trans(D[0]))))
+    return worst
+
+
+def test4_hermiticity_full(D, vec, stencil: str):
+    """<v|D|v> real (laplace) / <v|D gamma5|v> real (wilson)
+    (tests.h:184-248). Returns |Im <...>|."""
+    n = D.shape[1]
+    if stencil == "wilson":
+        g5 = jnp.asarray(gamma5(n), dtype=D.dtype)
+        D = jnp.einsum("sijxy,jk->sikxy", D, g5)
+    w = apply_D(D, vec)
+    val = jnp.sum(jnp.conj(vec) * w)
+    return jnp.abs(jnp.imag(val))
+
+
+def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
+    """Run the full pre-solve verification pass at every level and every
+    NTL copy on fresh random vectors (reference f_MG_tests, tests.h:250-295).
+
+    Returns {check_name: violation}; all values should be < EPSILON.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed + 1)
+    out = {}
+    bx, by = cfg.block_x, cfg.block_y
+    for lvl in range(cfg.nlevels + 1):
+        n, S = cfg.n_dof[lvl], cfg.sizes[lvl]
+        key, k1, k2 = jax.random.split(key, 3)
+        vec = (jax.random.uniform(k1, (n, S, S), minval=-np.pi, maxval=np.pi)
+               + 1j * jax.random.uniform(k2, (n, S, S), minval=-np.pi,
+                                         maxval=np.pi)).astype(cfg.cdtype)
+        lev = hier.levels[lvl]
+        ntl_bottom = cfg.ntl and lvl == cfg.nlevels
+        if ntl_bottom:
+            for q in range(cfg.n_copies):
+                pn = hier.ntl.phi_null[q]
+                Dq = hier.ntl.D[q]
+                fine = hier.levels[lvl - 1]
+                out[f"lvl{lvl}_ntl{q}_test1"] = float(
+                    test1_restriction_prolongation(pn, vec, q + 1, bx, by))
+                out[f"lvl{lvl}_ntl{q}_test2"] = float(
+                    test2_galerkin(Dq, fine.D, pn, vec, q + 1, bx, by))
+                out[f"lvl{lvl}_ntl{q}_test3"] = float(
+                    test3_hermiticity(Dq, cfg.stencil))
+                out[f"lvl{lvl}_ntl{q}_test4"] = float(
+                    test4_hermiticity_full(Dq, vec, cfg.stencil))
+        else:
+            if lvl > 0:
+                fine = hier.levels[lvl - 1]
+                out[f"lvl{lvl}_test1"] = float(test1_restriction_prolongation(
+                    fine.phi_null, vec, cfg.quad, bx, by))
+                out[f"lvl{lvl}_test2"] = float(test2_galerkin(
+                    lev.D, fine.D, fine.phi_null, vec, cfg.quad, bx, by))
+            out[f"lvl{lvl}_test3"] = float(test3_hermiticity(lev.D, cfg.stencil))
+            out[f"lvl{lvl}_test4"] = float(
+                test4_hermiticity_full(lev.D, vec, cfg.stencil))
+    return out
