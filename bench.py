@@ -1,0 +1,187 @@
+"""Benchmark harness: stencil-SpMV roofline on the current accelerator.
+
+Prints ONE JSON line:
+  {"metric": "wilson_stencil_spmv_nnz_per_s", "value": ..., "unit": "nnz/s",
+   "vs_baseline": <achieved HBM bandwidth / peak HBM bandwidth>}
+
+vs_baseline is the roofline fraction (BASELINE.json target: >= 0.60 of the
+HBM-bandwidth speed of light for the gauged 5-point stencil SpMV).
+Secondary results (MG solve cycle counts vs unpreconditioned MR, per-size
+scan) are written to bench_details.json.
+
+Robustness: the tunneled TPU backend can fail transiently on large
+programs (see .claude/skills/verify/SKILL.md); every measurement retries
+with a perturbed program shape before giving up.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+# HBM peak bandwidth per chip, bytes/s.
+HBM_PEAK = {
+    "TPU v2": 700e9,
+    "TPU v3": 900e9,
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,       # v5e
+    "TPU v5": 2765e9,           # v5p
+    "TPU v6 lite": 1640e9,      # v6e (Trillium)
+    "TPU v6e": 1640e9,
+    "cpu": 100e9,               # placeholder for host runs
+}
+
+
+def device_peak_bw():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_PEAK.items():
+        if kind.lower().startswith(k.lower()):
+            return v, kind
+    return 819e9, kind
+
+
+def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
+                  tries=4):
+    """Time reps x apply_D in one jitted fori_loop; return seconds/apply."""
+    import jax
+    import jax.numpy as jnp
+    import tpu_multigrid as mg
+    from tpu_multigrid.ops.stencil import apply_D
+
+    cfg = mg.MGConfig(L=L, stencil=stencil, m=-0.07, nlevels=1,
+                      dtype=dtype)
+    rng = np.random.default_rng(7)
+    U = mg.models.gauge.gauge_from_phases(
+        0.2 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = mg.models.operators.assemble(stencil, U, cfg.m)
+    n = cfg.n_dof[0]
+    v = jnp.asarray(rng.normal(size=(n, L, L))
+                    + 1j * rng.normal(size=(n, L, L))).astype(cfg.cdtype)
+
+    last_err = None
+    for attempt in range(tries):
+        r = reps + attempt  # perturb program content on retry
+        try:
+            def many(D, v):
+                def body(i, v):
+                    return apply_D(D, v) * (1.0 / (4.0 + cfg.m))
+                return jax.lax.fori_loop(0, r, body, v)
+
+            fn = jax.jit(many)
+            out = fn(D, v)
+            jax.block_until_ready(out)        # warmup & compile
+            t0 = time.perf_counter()
+            out = fn(D, v)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / r
+            return dt, n, last_err
+        except Exception as e:  # transient backend failure: retry
+            last_err = str(e)[:100]
+            time.sleep(3)
+    raise RuntimeError(f"stencil bench failed after {tries} tries: {last_err}")
+
+
+def bench_mg_vs_mr(L=256, tries=3):
+    """Wilson MG solve to 1e-8 vs unpreconditioned MR (cycle counts)."""
+    import jax
+    import tpu_multigrid as mg
+
+    cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.07, nlevels=3, ntl=True,
+                      num_iters=4, null_iters=100, dtype="complex64",
+                      res_threshold=1e-8, smoother="rbgs")
+    rng = np.random.default_rng(cfg.seed)
+    U = mg.models.gauge.gauge_from_phases(
+        0.2 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
+    b = mg.point_source(cfg)
+    for attempt in range(tries):
+        try:
+            hier = mg.build_hierarchy(D, cfg, check=False)
+            t0 = time.perf_counter()
+            out = mg.solve_chunked(hier, b, cfg, max_iters=500, chunk=5)
+            t_solve = time.perf_counter() - t0
+            _, mr_iters, mr_rel = mg.mr_solve(D, b, tol=1e-8,
+                                              max_iters=300000, chunk=500)
+            return {
+                "mg_cycles": out.iters, "mg_res": out.resmag,
+                "mg_converged": out.converged, "mg_seconds": t_solve,
+                "mr_iters": mr_iters, "mr_res": mr_rel,
+                "cycle_reduction": (mr_iters / max(out.iters, 1)),
+            }
+        except Exception as e:
+            err = str(e)[:100]
+            time.sleep(3)
+    return {"error": err}
+
+
+def phase_stencil():
+    peak, kind = device_peak_bw()
+    L = 256
+    dt, n, warn = bench_stencil(L=L, reps=200)
+    csize = 8  # complex64 bytes
+    bytes_per_apply = (5 * n * n + 2 * n) * L * L * csize
+    nnz = 5 * n * n * L * L
+    return {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
+            "L": L, "n": n, "sec_per_apply": dt,
+            "bytes_per_apply": bytes_per_apply,
+            "achieved_bytes_per_s": bytes_per_apply / dt,
+            "nnz_per_s": nnz / dt,
+            "roofline_fraction": bytes_per_apply / dt / peak,
+            "transient_errors": warn}
+
+
+def _run_phase_subprocess(phase: str, tries: int = 3):
+    """Each phase runs in its own interpreter: the tunneled backend can
+    poison a process after one transient failure, and cold compiles of
+    large programs may exceed the remote service's time limit — a retry
+    hits a warm server-side cache and completes fast."""
+    import subprocess
+    out_file = f"/tmp/bench_phase_{phase}.json"
+    for attempt in range(tries):
+        r = subprocess.run([sys.executable, __file__, "--phase", phase,
+                            "--out", out_file], capture_output=True,
+                           text=True, timeout=1200)
+        if r.returncode == 0:
+            with open(out_file) as f:
+                return json.load(f)
+        time.sleep(5)
+    return {"error": f"phase {phase} failed {tries}x",
+            "stderr": r.stderr[-500:]}
+
+
+def main():
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+        out = sys.argv[sys.argv.index("--out") + 1]
+        result = {"stencil": phase_stencil,
+                  "mg_vs_mr": lambda: bench_mg_vs_mr(L=256)}[phase]()
+        if "error" in result:
+            sys.exit(1)
+        with open(out, "w") as f:
+            json.dump(result, f, default=float)
+        return
+
+    details = {}
+    st = _run_phase_subprocess("stencil")
+    details["stencil"] = st
+    details["mg_vs_mr_256"] = _run_phase_subprocess("mg_vs_mr")
+
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2, default=float)
+
+    if "error" in st:
+        print(json.dumps({"metric": "wilson_stencil_spmv_nnz_per_s",
+                          "value": 0.0, "unit": "nnz/s",
+                          "vs_baseline": 0.0}))
+        return
+    print(json.dumps({
+        "metric": "wilson_stencil_spmv_nnz_per_s",
+        "value": float(st["nnz_per_s"]),
+        "unit": "nnz/s",
+        "vs_baseline": float(st["roofline_fraction"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""I/O round-trips (near-null checkpoints in npz + reference text format,
+gauge files) and the CLI driver end-to-end."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_multigrid.config import MGConfig
+from tpu_multigrid.models import gauge
+from tpu_multigrid.utils import io as mio
+
+
+def test_near_null_text_roundtrip(tmp_path, rng):
+    cfg = MGConfig(L=8, stencil="wilson", m=0.1, nlevels=2)
+    arrs = []
+    for lvl in range(cfg.nlevels):
+        L = cfg.sizes[lvl]
+        nf, nc = cfg.n_dof[lvl], cfg.n_dof[lvl + 1]
+        arrs.append(rng.normal(size=(nc, nf, L, L))
+                    + 1j * rng.normal(size=(nc, nf, L, L)))
+    path = str(tmp_path / mio.near_null_filename(cfg))
+    mio.save_near_null_text(path, arrs)
+    back = mio.load_near_null_text(path, cfg)
+    for a, b in zip(arrs, back):
+        np.testing.assert_allclose(a, b, rtol=1e-15)
+
+
+def test_near_null_npz_roundtrip(tmp_path, rng):
+    arrs = [rng.normal(size=(2, 1, 8, 8)) + 0j,
+            rng.normal(size=(2, 2, 4, 4)) + 0j]
+    path = str(tmp_path / "nn.npz")
+    mio.save_near_null_npz(path, arrs)
+    back = mio.load_near_null_npz(path)
+    for a, b in zip(arrs, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gauge_file_roundtrips(tmp_path, rng):
+    L = 8
+    th = rng.uniform(-np.pi, np.pi, (2, L, L))
+    p1 = str(tmp_path / "phase_8_b32.0.dat")
+    gauge.write_heatbath_file(p1, th)
+    U = gauge.read_heatbath_file(p1, L)
+    np.testing.assert_allclose(np.asarray(U), np.exp(1j * th), atol=1e-14)
+
+    p2 = str(tmp_path / "Uphases.txt")
+    gauge.write_gauge_text(p2, U)
+    U2 = gauge.read_gauge_text(p2, L)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U), atol=1e-18)
+
+
+def test_cli_end_to_end(tmp_path):
+    from tpu_multigrid import cli
+    rc = cli.main(["--L", "16", "--stencil", "laplace", "--m", "0.1",
+                   "--nlevels", "2", "--num-iters", "8",
+                   "--null-iters", "60", "--res-threshold", "1e-9",
+                   "--max-iters", "200", "--out-dir", str(tmp_path),
+                   "--gauge", "random"])
+    assert rc == 0
+    for fname in ["results_phi.txt", "results_NTL_weights.txt",
+                  "results_res_lvl-0.txt", "metrics.jsonl",
+                  "solve_summary.json", "results_gen_scaling.txt"]:
+        assert (tmp_path / fname).exists(), fname
+    import json
+    summary = json.loads((tmp_path / "solve_summary.json").read_text())
+    assert summary["converged"]
+
+
+def test_cli_reference_argv(tmp_path):
+    """Reference positional style: L num_iters block gen_null m nlevels
+    t_flag n_copies (wilson stencil hardcoded in reference)."""
+    from tpu_multigrid import cli
+    rc = cli.main(["16", "8", "2", "1", "0.3", "2", "1", "4",
+                   "--out-dir", str(tmp_path), "--null-iters", "60",
+                   "--res-threshold", "1e-8", "--max-iters", "200",
+                   "--skip-tests"])
+    assert rc == 0
+
+
+def test_cli_checkpoint_roundtrip(tmp_path):
+    from tpu_multigrid import cli
+    ckpt = str(tmp_path / "nn.npz")
+    rc = cli.main(["--L", "16", "--stencil", "laplace", "--m", "0.2",
+                   "--nlevels", "2", "--num-iters", "8",
+                   "--null-iters", "60", "--res-threshold", "1e-8",
+                   "--max-iters", "100", "--out-dir", str(tmp_path / "a"),
+                   "--checkpoint", ckpt, "--skip-tests"])
+    assert rc == 0 and os.path.exists(ckpt)
+    rc = cli.main(["--L", "16", "--stencil", "laplace", "--m", "0.2",
+                   "--nlevels", "2", "--num-iters", "8",
+                   "--gen-null", "0", "--res-threshold", "1e-8",
+                   "--max-iters", "100", "--out-dir", str(tmp_path / "b"),
+                   "--checkpoint", ckpt, "--skip-tests"])
+    assert rc == 0

@@ -1,0 +1,109 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh: halo exchange
+vs jnp.roll ground truth, sharded stencil/smoother equivalence, and the
+full sharded (NTL-)V-cycle solve matching the single-device solver."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tpu_multigrid.config import MGConfig
+from tpu_multigrid.models import gauge, operators
+from tpu_multigrid.ops import stencil
+from tpu_multigrid.parallel import halo, sharded
+from tpu_multigrid.solver.hierarchy import build_hierarchy, point_source, zero_fields
+from tpu_multigrid.solver.driver import solve
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def mesh24():
+    return sharded.make_mesh((2, 4))
+
+
+@requires_8
+@pytest.mark.parametrize("d", [1, 2, 3, 4])
+def test_shift_halo_matches_roll(d, rng):
+    mesh = mesh24()
+    v = jnp.asarray(rng.normal(size=(2, 16, 16))
+                    + 1j * rng.normal(size=(2, 16, 16)))
+    f = jax.jit(jax.shard_map(lambda x: halo.shift_halo(x, d), mesh=mesh,
+                              in_specs=P(None, "x", "y"),
+                              out_specs=P(None, "x", "y")))
+    np.testing.assert_allclose(np.asarray(f(v)),
+                               np.asarray(stencil.shift(v, d)), atol=0)
+
+
+@requires_8
+def test_apply_d_sharded_matches(rng):
+    mesh = mesh24()
+    L = 16
+    U = gauge.gauge_from_phases(rng.normal(size=(2, L, L)) * 0.3)
+    D = operators.assemble_wilson(U, -0.05)
+    v = jnp.asarray(rng.normal(size=(2, L, L)) + 1j * rng.normal(size=(2, L, L)))
+    f = jax.jit(jax.shard_map(halo.apply_D_sharded, mesh=mesh,
+                              in_specs=(P(None, None, None, "x", "y"),
+                                        P(None, "x", "y")),
+                              out_specs=P(None, "x", "y")))
+    np.testing.assert_allclose(np.asarray(f(D, v)),
+                               np.asarray(stencil.apply_D(D, v)), atol=1e-12)
+
+
+@requires_8
+def test_smoother_sharded_matches(rng):
+    from tpu_multigrid.ops.smoothers import smooth
+    mesh = mesh24()
+    L = 16
+    U = gauge.gauge_from_phases(rng.normal(size=(2, L, L)) * 0.3)
+    D = operators.assemble_laplace(U, 0.2)
+    Dinv = stencil.site_inverse(D[0])
+    b = jnp.asarray(rng.normal(size=(1, L, L)) + 0j)
+    phi = jnp.zeros_like(b)
+    f = jax.jit(jax.shard_map(
+        lambda D, Di, p, r: halo.smooth_sharded(D, Di, p, r, 5, "rbgs"),
+        mesh=mesh,
+        in_specs=(P(None, None, None, "x", "y"), P(None, None, "x", "y"),
+                  P(None, "x", "y"), P(None, "x", "y")),
+        out_specs=P(None, "x", "y")))
+    got = np.asarray(f(D, Dinv, phi, b))
+    want = np.asarray(smooth(D, Dinv, phi, b, 5, "rbgs"))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@requires_8
+@pytest.mark.parametrize("stencil_name,ntl", [("laplace", False),
+                                              ("laplace", True),
+                                              ("wilson", True)])
+def test_sharded_solve_matches_single_device(stencil_name, ntl, rng):
+    mesh = mesh24()
+    L = 32
+    cfg = MGConfig(L=L, stencil=stencil_name, m=0.1, nlevels=2, ntl=ntl,
+                   num_iters=6, null_iters=60, res_threshold=1e-9)
+    U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = operators.assemble(cfg.stencil, U, cfg.m)
+    hier = build_hierarchy(D, cfg)
+    b = point_source(cfg)
+
+    ref = solve(hier, b, cfg, max_iters=100)
+    assert ref.converged
+
+    solver = sharded.make_sharded_solver(cfg, mesh, max_iters=100)(hier)
+    hier_s = sharded.shard_hierarchy(hier, cfg, mesh)
+    phis, iters, res = solver(hier_s, zero_fields(cfg), b)
+    assert float(res) < cfg.res_threshold
+    # identical math => same iteration count and (near-)identical solution
+    assert int(iters) == ref.iters
+    np.testing.assert_allclose(np.asarray(phis[0]), ref.phi, atol=1e-10)
+
+
+@requires_8
+def test_shardable_levels():
+    mesh = mesh24()
+    cfg = MGConfig(L=32, stencil="laplace", m=0.1, nlevels=3)
+    sh = sharded.shardable_levels(cfg, mesh)
+    # 32 -> (16,8) local ok; 16 -> (8,4) ok; 8 -> (4,2) ok but coarsest of
+    # nlevels=3 is level 3 (L=4 -> local (2,1)) -> replicated
+    assert sh[0] and sh[1] and sh[2]
+    assert not sh[3]

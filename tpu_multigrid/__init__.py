@@ -20,7 +20,8 @@ from . import models, ops, solver, parallel, utils
 from .solver.hierarchy import (Hierarchy, LevelOps, NTLOps, build_hierarchy,
                                build_ntl, zero_fields, point_source)
 from .solver.cycles import v_cycle, ntl_cycle, cycle, min_res_weights
-from .solver.driver import solve, solve_with_history, mr_solve, SolveResult
+from .solver.driver import (solve, solve_chunked, solve_with_history,
+                            mr_solve, SolveResult)
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,169 @@
+"""Command-line driver, mirroring the reference program phases
+(mgrid_ntl.cpp:29-73): config -> fields -> gauge -> operator assembly ->
+near-null setup -> self-tests -> outer MG solve -> results files.
+
+Two invocation styles:
+  python -m tpu_multigrid.cli 64 20 2 1 0.002 2 1 4          (reference argv:
+      L num_iters block gen_null m nlevels t_flag n_copies)
+  python -m tpu_multigrid.cli --L 64 --stencil laplace --m 0.002 ...  (full)
+
+Unlike the reference, every compile-time constant (stencil, quad, beta,
+thresholds, smoother) is a flag.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpu_multigrid",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--L", type=int, default=64)
+    p.add_argument("--stencil", choices=["laplace", "wilson"],
+                   default="wilson")
+    p.add_argument("--m", type=float, default=-0.07)
+    p.add_argument("--nlevels", type=int, default=2)
+    p.add_argument("--block", type=int, default=2)
+    p.add_argument("--num-iters", type=int, default=20)
+    p.add_argument("--smoother", choices=["jacobi", "rbgs", "gs_lex"],
+                   default="rbgs")
+    p.add_argument("--ntl", action="store_true")
+    p.add_argument("--n-copies", type=int, default=4)
+    p.add_argument("--no-min-res", action="store_true")
+    p.add_argument("--gen-null", type=int, default=1,
+                   help="1: generate near-null; 0: read from checkpoint")
+    p.add_argument("--null-iters", type=int, default=500)
+    p.add_argument("--res-threshold", type=float, default=1e-13)
+    p.add_argument("--max-iters", type=int, default=50000)
+    p.add_argument("--quad", type=int, default=1)
+    p.add_argument("--beta", type=float, default=32.0)
+    p.add_argument("--seed", type=int, default=4302529)
+    p.add_argument("--dtype", choices=["complex64", "complex128"],
+                   default="complex128")
+    p.add_argument("--gauge", choices=["identity", "random", "heatbath",
+                                       "file"], default="identity")
+    p.add_argument("--gauge-file", type=str, default=None,
+                   help="phase file (heat-bath format) to read links from")
+    p.add_argument("--heatbath-sweeps", type=int, default=100)
+    p.add_argument("--out-dir", type=str, default=".")
+    p.add_argument("--skip-tests", action="store_true")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="near-null checkpoint path (.npz or reference .txt)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu)")
+    return p
+
+
+def parse_args(argv):
+    # Reference positional style: 8 bare numbers.
+    if len(argv) >= 8 and all(not a.startswith("-") for a in argv[:8]):
+        from .config import from_reference_argv
+        cfg = from_reference_argv(argv[:8])
+        ns = build_parser().parse_args(argv[8:])
+        return cfg, ns
+    ns = build_parser().parse_args(argv)
+    from .config import MGConfig
+    cfg = MGConfig(
+        L=ns.L, stencil=ns.stencil, m=ns.m, nlevels=ns.nlevels,
+        block_x=ns.block, block_y=ns.block, num_iters=ns.num_iters,
+        smoother=ns.smoother, ntl=ns.ntl, n_copies=ns.n_copies,
+        min_res=not ns.no_min_res, gen_null=bool(ns.gen_null),
+        null_iters=ns.null_iters, res_threshold=ns.res_threshold,
+        max_iters=ns.max_iters, quad=ns.quad, beta=ns.beta, seed=ns.seed,
+        dtype=ns.dtype)
+    return cfg, ns
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg, ns = parse_args(argv)
+
+    import jax
+    if ns.platform:
+        jax.config.update("jax_platforms", ns.platform)
+    if cfg.dtype == "complex128":
+        jax.config.update("jax_enable_x64", True)
+
+    import tpu_multigrid as mg
+    from .models import gauge as G
+    from .utils import io as mio
+
+    print(f"stencil={cfg.stencil} L={cfg.L} m={cfg.m} nlevels={cfg.nlevels} "
+          f"ntl={cfg.ntl} smoother={cfg.smoother} dtype={cfg.dtype}")
+    print("level sizes:", cfg.sizes, "n_dof:", cfg.n_dof)
+
+    # Gauge field.
+    if ns.gauge == "identity":
+        U = G.identity_gauge(cfg.L, cfg.cdtype)
+    elif ns.gauge == "random":
+        U = G.random_gauge(cfg.L, jax.random.PRNGKey(cfg.seed), 0.2,
+                           cfg.cdtype)
+    elif ns.gauge == "heatbath":
+        th = G.heatbath_ensemble(cfg.L, cfg.beta, ns.heatbath_sweeps,
+                                 cfg.seed)
+        U = G.gauge_from_phases(th, cfg.cdtype)
+    else:
+        U = G.read_heatbath_file(ns.gauge_file, cfg.L, cfg.cdtype)
+    plaq = complex(G.plaquette(U))
+    print(f"plaquette: {plaq.real:.6f} + {plaq.imag:.2e}i")
+
+    D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
+
+    # Near-null setup (optionally from checkpoint, like gen_null=0).
+    phi_null_init = None
+    if not cfg.gen_null:
+        path = ns.checkpoint or mio.near_null_filename(cfg)
+        print(f"reading near-null checkpoint {path}")
+        loader = (mio.load_near_null_npz if path.endswith(".npz")
+                  else mio.load_near_null_text)
+        arrs = loader(path) if path.endswith(".npz") else loader(path, cfg)
+        import jax.numpy as jnp
+        phi_null_init = tuple(jnp.asarray(a, cfg.cdtype) for a in arrs)
+
+    t0 = time.time()
+    hier = mg.build_hierarchy(D, cfg, phi_null_init=phi_null_init)
+    print(f"setup done in {time.time() - t0:.1f}s")
+
+    if cfg.gen_null and ns.checkpoint:
+        saver = (mio.save_near_null_npz if ns.checkpoint.endswith(".npz")
+                 else mio.save_near_null_text)
+        saver(ns.checkpoint, [np.asarray(hier.levels[l].phi_null)
+                              for l in range(cfg.nlevels)])
+        print(f"wrote near-null checkpoint {ns.checkpoint}")
+
+    # Self-test pass (reference f_MG_tests runs before every solve).
+    if not ns.skip_tests:
+        checks = mg.testing.run_mg_tests(hier, cfg)
+        worst = max(checks.values())
+        bad = {k: v for k, v in checks.items() if v > mg.testing.EPSILON}
+        print(f"self-tests: {len(checks)} checks, worst {worst:.3e}"
+              + (f"  FAILURES: {bad}" if bad else "  (all pass)"))
+
+    b = mg.point_source(cfg)
+    writer = mio.ResultsWriter(cfg, ns.out_dir)
+    t0 = time.time()
+    out = mg.solve_with_history(hier, b, cfg, writer=writer)
+    dt = time.time() - t0
+    writer.write_scaling_summary(out.iters)
+    writer.close()
+
+    status = "converged" if out.converged else "NOT converged"
+    print(f"{status} in {out.iters} cycles, rel residual {out.resmag:.3e}, "
+          f"{dt:.1f}s")
+    with open(f"{ns.out_dir}/solve_summary.json", "w") as f:
+        json.dump({"L": cfg.L, "m": cfg.m, "stencil": cfg.stencil,
+                   "nlevels": cfg.nlevels, "ntl": cfg.ntl,
+                   "iters": out.iters, "resmag": out.resmag,
+                   "converged": out.converged, "seconds": dt,
+                   "plaquette": [plaq.real, plaq.imag]}, f)
+    return 0 if out.converged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

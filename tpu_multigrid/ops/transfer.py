@@ -40,10 +40,13 @@ def from_block_frame(v: jnp.ndarray, quad: int) -> jnp.ndarray:
 
 
 def _blocked(v: jnp.ndarray, bx: int, by: int) -> jnp.ndarray:
-    """[..., L, L] -> [..., Lc, bx, Lc, by]."""
-    L = v.shape[-1]
+    """[..., Lx, Ly] -> [..., Lx/bx, bx, Ly/by, by].
+
+    Handles rectangular extents — local shard tiles of a sharded lattice
+    are (L/mesh_x, L/mesh_y)."""
+    Lx, Ly = v.shape[-2], v.shape[-1]
     lead = v.shape[:-2]
-    return v.reshape(*lead, L // bx, bx, L // by, by)
+    return v.reshape(*lead, Lx // bx, bx, Ly // by, by)
 
 
 def restrict(phi_null: jnp.ndarray, vf: jnp.ndarray, quad: int,
@@ -59,9 +62,9 @@ def prolong(phi_null: jnp.ndarray, vc: jnp.ndarray, quad: int,
     """vec_f[nf, L, L] = Phi^dagger vec_c (reference near_null.h:242-264)."""
     pb = _blocked(to_block_frame(phi_null, quad), bx, by)
     vfb = jnp.einsum("cfXaYb,cXY->fXaYb", jnp.conj(pb), vc)
-    lead = vfb.shape[0]
-    L = vfb.shape[1] * vfb.shape[2]
-    return from_block_frame(vfb.reshape(lead, L, L), quad)
+    nf = vfb.shape[0]
+    Lx, Ly = vfb.shape[1] * vfb.shape[2], vfb.shape[3] * vfb.shape[4]
+    return from_block_frame(vfb.reshape(nf, Lx, Ly), quad)
 
 
 def block_norms(v: jnp.ndarray, quad: int, bx: int, by: int) -> jnp.ndarray:
@@ -77,8 +80,7 @@ def block_normalize(v: jnp.ndarray, quad: int, bx: int, by: int) -> jnp.ndarray:
     vb = _blocked(to_block_frame(v, quad), bx, by)
     norms = jnp.sqrt(jnp.sum(jnp.abs(vb) ** 2, axis=(0, 2, 4)))
     vb = vb / norms[None, :, None, :, None]
-    lead, L = v.shape[0], v.shape[-1]
-    return from_block_frame(vb.reshape(lead, L, L), quad)
+    return from_block_frame(vb.reshape(v.shape), quad)
 
 
 def block_dot(u: jnp.ndarray, v: jnp.ndarray, quad: int, bx: int, by: int):
@@ -109,8 +111,7 @@ def ortho_pass(phi_null: jnp.ndarray, quad: int, bx: int, by: int):
             cb = _blocked(to_block_frame(cur, quad), bx, by)
             pb = _blocked(to_block_frame(prev, quad), bx, by)
             cb = cb - coef[None, :, None, :, None] * pb
-            L = cur.shape[-1]
-            cur = from_block_frame(cb.reshape(cur.shape[0], L, L), quad)
+            cur = from_block_frame(cb.reshape(cur.shape), quad)
         rows[d1] = block_normalize(cur, quad, bx, by)
     return jnp.stack(rows)
 

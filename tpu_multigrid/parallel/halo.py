@@ -1,0 +1,136 @@
+"""Halo exchange for lattice fields sharded over a 2D device mesh.
+
+The L x L torus is block-partitioned over mesh axes ('x', 'y'); the 5-point
+stencil needs a width-1 halo of neighbor sites, exchanged with
+`jax.lax.ppermute` — the ICI collective-permute. The periodic lattice maps
+directly onto the TPU torus (SURVEY.md §5.7-5.8; the reference is
+single-process, modules_main.h has no comms, so this whole module is new
+TPU-native capability).
+
+All functions here are meant to run INSIDE `jax.shard_map` with the lattice
+axes of every field sharded as P(..., 'x', 'y').
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SAME, XP, XM, YP, YM
+
+AXIS_X = "x"   # mesh axis partitioning the lattice x (array axis -2)
+AXIS_Y = "y"   # mesh axis partitioning the lattice y (array axis -1)
+
+
+def _perm(axis_name: str, up: bool):
+    """Cyclic permutation along a mesh axis; up=True sends shard i -> i-1
+    (so every shard receives data from its +1 neighbor)."""
+    n = lax.axis_size(axis_name)
+    if up:
+        return [(i, (i - 1) % n) for i in range(n)]
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def shift_halo(v: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Sharded analog of ops.stencil.shift: field of neighbor values in
+    direction d, with the shard-boundary column/row fetched by ppermute.
+
+    v: local block [..., lx, ly].
+    """
+    if d == XP:      # value at (x+1): need my +x neighbor's first column
+        edge = lax.ppermute(v[..., :1, :], AXIS_X, _perm(AXIS_X, up=True))
+        return jnp.concatenate([v[..., 1:, :], edge], axis=-2)
+    if d == XM:      # value at (x-1): need my -x neighbor's last column
+        edge = lax.ppermute(v[..., -1:, :], AXIS_X, _perm(AXIS_X, up=False))
+        return jnp.concatenate([edge, v[..., :-1, :]], axis=-2)
+    if d == YP:
+        edge = lax.ppermute(v[..., :, :1], AXIS_Y, _perm(AXIS_Y, up=True))
+        return jnp.concatenate([v[..., :, 1:], edge], axis=-1)
+    if d == YM:
+        edge = lax.ppermute(v[..., :, -1:], AXIS_Y, _perm(AXIS_Y, up=False))
+        return jnp.concatenate([edge, v[..., :, :-1]], axis=-1)
+    raise ValueError(f"bad direction {d}")
+
+
+def roll_halo(v: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """Sharded jnp.roll for |shift| == 1 on lattice axes (-2, -1).
+
+    roll(v, +1, ax)[i] = v[i-1]  => equals shift_halo 'minus' direction.
+    """
+    if shift == 0:
+        return v
+    assert shift in (1, -1) and axis in (-2, -1)
+    if axis == -2:
+        return shift_halo(v, XM if shift == 1 else XP)
+    return shift_halo(v, YM if shift == 1 else YP)
+
+
+# --- sharded versions of the core stencil ops -----------------------------
+
+def apply_hop_sharded(D, v):
+    out = jnp.einsum("ijxy,jxy->ixy", D[XP], shift_halo(v, XP))
+    out += jnp.einsum("ijxy,jxy->ixy", D[XM], shift_halo(v, XM))
+    out += jnp.einsum("ijxy,jxy->ixy", D[YP], shift_halo(v, YP))
+    out += jnp.einsum("ijxy,jxy->ixy", D[YM], shift_halo(v, YM))
+    return out
+
+
+def apply_D_sharded(D, v):
+    return jnp.einsum("ijxy,jxy->ixy", D[SAME], v) + apply_hop_sharded(D, v)
+
+
+def residual_sharded(D, phi, r):
+    return r - apply_D_sharded(D, phi)
+
+
+def global_norm_sharded(v):
+    s = jnp.sum(jnp.abs(v) ** 2)
+    return jnp.sqrt(lax.psum(s, (AXIS_X, AXIS_Y)))
+
+
+def residual_norm_ratio_sharded(D, phi, r):
+    res = residual_sharded(D, phi, r)
+    num = jnp.sum(jnp.abs(res) ** 2)
+    den = jnp.sum(jnp.abs(r) ** 2)
+    num, den = lax.psum(jnp.stack([num, den]), (AXIS_X, AXIS_Y))
+    return jnp.sqrt(num) / jnp.sqrt(den)
+
+
+def _global_parity_offset(dtype):
+    """(x+y) parity offset of this shard's origin. Requires even local
+    extents (asserted by the sharded smoother) so the offset is 0 — kept
+    explicit for clarity and future odd-tile support."""
+    return jnp.zeros((), dtype=dtype)
+
+
+def jacobi_sweep_sharded(D, D0inv, phi, r, omega: float = 1.0):
+    new = -jnp.einsum("ijxy,jxy->ixy", D0inv, apply_hop_sharded(D, phi) - r)
+    if omega == 1.0:
+        return new
+    return phi + omega * (new - phi)
+
+
+def rbgs_sweep_sharded(D, D0inv, phi, r, omega: float = 1.0):
+    lx, ly = phi.shape[-2], phi.shape[-1]
+    assert lx % 2 == 0 and ly % 2 == 0, (
+        "sharded red-black GS requires even local tiles")
+    x = jnp.arange(lx)[:, None]
+    y = jnp.arange(ly)[None, :]
+    par = ((x + y) % 2).astype(phi.real.dtype)
+    red, black = (1.0 - par)[None], par[None]
+    upd = -jnp.einsum("ijxy,jxy->ixy", D0inv, apply_hop_sharded(D, phi) - r)
+    phi = phi + omega * red * (upd - phi)
+    upd = -jnp.einsum("ijxy,jxy->ixy", D0inv, apply_hop_sharded(D, phi) - r)
+    phi = phi + omega * black * (upd - phi)
+    return phi
+
+
+def smooth_sharded(D, D0inv, phi, r, n_sweeps: int, kind: str,
+                   omega: float = 1.0):
+    sweep = {"jacobi": jacobi_sweep_sharded,
+             "rbgs": rbgs_sweep_sharded}[kind]
+
+    def body(_, phi):
+        return sweep(D, D0inv, phi, r, omega)
+
+    return lax.fori_loop(0, n_sweeps, body, phi)

@@ -72,6 +72,41 @@ def solve(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        converged=resmag < cfg.res_threshold)
 
 
+def solve_chunked(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
+                  phis0=None, max_iters: Optional[int] = None,
+                  chunk: int = 10) -> SolveResult:
+    """Chunked solve: one jitted program runs `chunk` cycles (fori_loop),
+    the host checks convergence between chunks.
+
+    Preferred on remote/tunneled backends where very large while_loop
+    programs are fragile, and a good TPU pattern generally: the chunk
+    amortizes dispatch latency without building a huge program.
+    """
+    from ..utils.compile import aot_call
+    max_iters = max_iters or cfg.max_iters
+    phis = phis0 if phis0 is not None else zero_fields(cfg)
+
+    def run_chunk(hier, phis, b):
+        def body(i, phis):
+            phis, _, _ = _cycle_and_res(hier, phis, b, cfg)
+            return phis
+        phis = jax.lax.fori_loop(0, chunk, body, phis)
+        return phis, residual_norm_ratio(hier.levels[0].D, phis[0], b)
+
+    it = 0
+    resmag = float("inf")
+    while it < max_iters:
+        phis, res = aot_call(run_chunk, hier, phis, b,
+                             key=("chunk", cfg, chunk))
+        it += chunk
+        resmag = float(res)
+        if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
+                or not np.isfinite(resmag):
+            break
+    return SolveResult(phi=np.asarray(phis[0]), iters=it, resmag=resmag,
+                       converged=resmag < cfg.res_threshold)
+
+
 def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        phis0=None, max_iters: Optional[int] = None,
                        writer=None) -> SolveResult:
@@ -107,38 +142,38 @@ def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        ntl_weights=np.asarray(weights))
 
 
-def mr_solve(D, b, tol: float = 1e-8, max_iters: int = 100000):
+def mr_solve(D, b, tol: float = 1e-8, max_iters: int = 100000,
+             chunk: int = 1000):
     """Unpreconditioned minimal-residual iteration — the baseline the MG
     solve must beat by >= 5x in cycle count (BASELINE.json north star).
 
     x_{k+1} = x_k + alpha r_k with alpha = <D r, r> / <D r, D r>.
-    Returns (x, iters, relres).
+    Chunked (fori_loop of `chunk` steps per program + host convergence
+    check) for remote-backend robustness. Returns (x, iters, relres).
     """
     from ..ops.stencil import apply_D
+    from ..utils.compile import aot_call
 
-    def run(D, b):
-        bn = jnp.sqrt(jnp.sum(jnp.abs(b) ** 2))
-
-        def cond(s):
-            x, r, it = s
-            rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
-            return (it < max_iters) & (rn / bn > tol) & jnp.isfinite(rn)
-
-        def body(s):
-            x, r, it = s
+    def run_chunk(D, x, r):
+        def body(i, s):
+            x, r = s
             Dr = apply_D(D, r)
             alpha = (jnp.sum(jnp.conj(Dr) * r)
                      / jnp.sum(jnp.conj(Dr) * Dr))
-            x = x + alpha * r
-            r = r - alpha * Dr
-            return x, r, it + 1
+            return x + alpha * r, r - alpha * Dr
 
-        x0 = jnp.zeros_like(b)
-        return jax.lax.while_loop(cond, body, (x0, b, 0))
+        x, r = jax.lax.fori_loop(0, chunk, body, (x, r))
+        return x, r, jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
 
-    from ..utils.compile import aot_call
-    x, r, iters = aot_call(run, D, b, key=("mr", D.shape, str(D.dtype), tol,
-                                           max_iters))
     bn = float(jnp.sqrt(jnp.sum(jnp.abs(b) ** 2)))
-    rel = float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2)) / bn)
-    return x, int(iters), rel
+    x, r = jnp.zeros_like(b), b
+    it = 0
+    rel = 1.0
+    while it < max_iters:
+        x, r, rn = aot_call(run_chunk, D, x, r,
+                            key=("mr", D.shape, str(D.dtype), chunk))
+        it += chunk
+        rel = float(rn) / bn
+        if rel < tol or not np.isfinite(rel):
+            break
+    return x, it, rel

