@@ -1,0 +1,59 @@
+"""Pallas TPU kernel correctness in interpreter mode (runs on CPU; the
+compiled path is exercised on real TPU hardware by bench.py)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from tpu_multigrid.config import MGConfig
+from tpu_multigrid.models import gauge, operators
+from tpu_multigrid.ops import stencil
+from tpu_multigrid.ops import pallas_stencil as ps
+from tpu_multigrid.ops.smoothers import smooth
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+def _setup(st, L=32):
+    cfg = MGConfig(L=L, stencil=st, m=-0.07 if st == "wilson" else 0.05,
+                   nlevels=1, dtype="complex64")
+    rng = np.random.default_rng(3)
+    U = gauge.gauge_from_phases(0.2 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = operators.assemble(st, U, cfg.m)
+    n = cfg.n_dof[0]
+    v = jnp.asarray(rng.normal(size=(n, L, L))
+                    + 1j * rng.normal(size=(n, L, L))).astype(cfg.cdtype)
+    return cfg, D, v
+
+
+@pytest.mark.parametrize("st", ["laplace", "wilson"])
+def test_apply_d_pallas(interpret_pallas, st):
+    cfg, D, v = _setup(st)
+    out_p = ps.apply_D_pallas(D, v)
+    out_x = stencil.apply_D(D, v)
+    rel = float(jnp.max(jnp.abs(out_p - out_x)) / jnp.max(jnp.abs(out_x)))
+    assert rel < 1e-5
+
+
+@pytest.mark.parametrize("st", ["laplace", "wilson"])
+def test_jacobi_pallas(interpret_pallas, st):
+    cfg, D, v = _setup(st)
+    Dinv = stencil.site_inverse(D[0])
+    r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
+    phi_p = ps.jacobi_smooth_pallas(D, Dinv, v, r, 3)
+    phi_x = smooth(D, Dinv, v, r, 3, "jacobi")
+    rel = float(jnp.max(jnp.abs(phi_p - phi_x)) / jnp.max(jnp.abs(phi_x)))
+    assert rel < 1e-5
+
+
+def test_fits_vmem():
+    assert ps.fits_vmem(2, 256)       # wilson 256^2
+    assert ps.fits_vmem(1, 256)       # laplace 256^2
+    assert not ps.fits_vmem(2, 1024)  # too big -> XLA fallback

@@ -1,0 +1,173 @@
+"""Pallas TPU kernels for the gauged 5-point stencil.
+
+Complex arithmetic is expressed as paired float32 planes (Pallas has no
+complex dtype; SURVEY.md §7.3), and the whole SpMV is ONE fused VMEM pass:
+the 4 neighbor shifts are `pltpu.roll`s of VMEM-resident planes, so each
+element of D and v is read exactly once from HBM — the XLA fallback path
+materializes 4 rolled copies of v through HBM.
+
+Kernels:
+- apply_D:      out = D v
+- jacobi_sweep: phi' = -D0^{-1} (hop(phi) - r), fused with the hop —
+  one kernel per smoother sweep instead of ~15 XLA HLOs.
+
+Whole-lattice-in-VMEM strategy: valid while the operand footprint fits
+VMEM (~16 MB/core): wilson c64 up to 256^2, laplace up to 512^2 — which
+covers every benchmark lattice. Larger lattices fall back to the XLA path
+(select via `use_pallas`/`PALLAS_MIN_FIT`); a y-tiled grid variant is the
+planned extension.
+
+Restricted to complex64 (the roofline mode); complex128 runs use XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SAME, XP, XM, YP, YM
+
+# direction -> (shift, lattice axis index within [L, L]) for neighbor value
+# value(x+1) = roll(v, -1, axis=0) on the [L, L] planes
+_DIR_SHIFTS = {XP: (-1, 0), XM: (1, 0), YP: (-1, 1), YM: (1, 1)}
+
+VMEM_BYTES = 16 * 1024 * 1024
+
+
+def _footprint(n: int, L: int) -> int:
+    # Dr+Di [5,n,n,L,L] + vr,vi,or,oi [n,L,L] in f32
+    return 4 * (2 * 5 * n * n + 4 * n) * L * L
+
+
+def fits_vmem(n: int, L: int) -> bool:
+    return _footprint(n, L) <= int(0.75 * VMEM_BYTES)
+
+
+def _roll2(p, shift, axis):
+    # p: [n, L, L]; roll along lattice axis (axis+1 accounting for dof
+    # dim). pltpu.roll requires a non-negative shift.
+    L = p.shape[axis + 1]
+    return pltpu.roll(p, shift % L, axis + 1)
+
+
+def _apply_d_kernel(n, dr_ref, di_ref, vr_ref, vi_ref, or_ref, oi_ref):
+    vr = vr_ref[:]
+    vi = vi_ref[:]
+    acc_r = [jnp.zeros_like(vr[0]) for _ in range(n)]
+    acc_i = [jnp.zeros_like(vi[0]) for _ in range(n)]
+    for s in (SAME, XP, XM, YP, YM):
+        if s == SAME:
+            nr, ni = vr, vi
+        else:
+            sh, ax = _DIR_SHIFTS[s]
+            nr = _roll2(vr, sh, ax)
+            ni = _roll2(vi, sh, ax)
+        for i in range(n):
+            for j in range(n):
+                dr = dr_ref[s, i, j]
+                di = di_ref[s, i, j]
+                acc_r[i] += dr * nr[j] - di * ni[j]
+                acc_i[i] += dr * ni[j] + di * nr[j]
+    or_ref[:] = jnp.stack(acc_r)
+    oi_ref[:] = jnp.stack(acc_i)
+
+
+def _jacobi_kernel(n, dr_ref, di_ref, ir_ref, ii_ref, pr_ref, pi_ref,
+                   rr_ref, ri_ref, or_ref, oi_ref):
+    """phi' = -D0inv (hop(phi) - r); D0inv passed as (ir, ii)."""
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    hr = [jnp.zeros_like(pr[0]) for _ in range(n)]
+    hi = [jnp.zeros_like(pi[0]) for _ in range(n)]
+    for s in (XP, XM, YP, YM):
+        sh, ax = _DIR_SHIFTS[s]
+        nr = _roll2(pr, sh, ax)
+        ni = _roll2(pi, sh, ax)
+        for i in range(n):
+            for j in range(n):
+                dr = dr_ref[s, i, j]
+                di = di_ref[s, i, j]
+                hr[i] += dr * nr[j] - di * ni[j]
+                hi[i] += dr * ni[j] + di * nr[j]
+    for i in range(n):
+        hr[i] = hr[i] - rr_ref[i]
+        hi[i] = hi[i] - ri_ref[i]
+    out_r, out_i = [], []
+    for i in range(n):
+        rr = jnp.zeros_like(pr[0])
+        ii = jnp.zeros_like(pr[0])
+        for j in range(n):
+            dr = ir_ref[i, j]
+            di = ii_ref[i, j]
+            rr += dr * hr[j] - di * hi[j]
+            ii += dr * hi[j] + di * hr[j]
+        out_r.append(-rr)
+        out_i.append(-ii)
+    or_ref[:] = jnp.stack(out_r)
+    oi_ref[:] = jnp.stack(out_i)
+
+
+def _split(z):
+    return jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
+
+
+def _vmem_specs(k):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(k)]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def apply_D_pallas(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused SpMV; D [5,n,n,L,L] c64, v [n,L,L] c64 -> [n,L,L] c64."""
+    n, L = v.shape[0], v.shape[-1]
+    dr, di = _split(D)
+    vr, vi = _split(v)
+    kern = functools.partial(_apply_d_kernel, n)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(v.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v.shape, jnp.float32)),
+        in_specs=_vmem_specs(4),
+        out_specs=tuple(_vmem_specs(2)),
+    )(dr, di, vr, vi)
+    return (out_r + 1j * out_i).astype(v.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def jacobi_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
+    """n_sweeps fused Jacobi sweeps (matches ops.smoothers.jacobi_sweep)."""
+    n = phi.shape[0]
+    dr, di = _split(D)
+    ir, ii = _split(D0inv)
+    rr, ri = _split(r)
+    pr, pi = _split(phi)
+    kern = functools.partial(_jacobi_kernel, n)
+    call = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(phi.shape, jnp.float32)),
+        in_specs=_vmem_specs(8),
+        out_specs=tuple(_vmem_specs(2)),
+    )
+
+    def body(_, carry):
+        pr, pi = carry
+        return call(dr, di, ir, ii, pr, pi, rr, ri)
+
+    pr, pi = jax.lax.fori_loop(0, n_sweeps, body, (pr, pi))
+    return (pr + 1j * pi).astype(phi.dtype)
+
+
+def use_pallas(dtype, n: int, L: int) -> bool:
+    """Whether the Pallas path applies: complex64 + fits in VMEM + on TPU."""
+    if dtype != jnp.complex64:
+        return False
+    if not fits_vmem(n, L):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
