@@ -95,12 +95,27 @@ def _staples(theta: np.ndarray, mu: int) -> np.ndarray:
 
 
 def heatbath_ensemble(L: int, beta: float, n_sweeps: int = 200,
-                      seed: int = 4302529, theta0: np.ndarray | None = None):
+                      seed: int = 4302529, theta0: np.ndarray | None = None,
+                      prefer_native: bool = True):
     """Generate U(1) link phases [2, L, L] via checkerboard heat-bath.
 
     Returns phases (float64). Sampling: theta ~ vonMises(kappa=beta*|V|,
     mu=-arg V) so that p ~ exp(beta*|V|*cos(theta + arg V)).
+
+    Uses the native C++ generator (tpu_multigrid/native/heatbath.cpp) when
+    the toolchain is available — the Markov chain is inherently
+    sequential; the NumPy fallback below is the same checkerboard
+    algorithm, vectorized per parity class.
     """
+    if prefer_native:
+        try:
+            from ..utils import native
+            if native.available():
+                th = (np.zeros((2, L, L)) if theta0 is None
+                      else np.array(theta0, dtype=np.float64))
+                return native.heatbath_run(th, beta, n_sweeps, seed)
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
     theta = np.zeros((2, L, L)) if theta0 is None else np.array(theta0)
     x = np.arange(L)[:, None]

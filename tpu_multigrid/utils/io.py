@@ -109,39 +109,56 @@ def near_null_filename(cfg) -> str:
 
 
 def save_near_null_text(path: str, phi_nulls: List[np.ndarray]):
-    """Write the reference checkpoint format (modules_main.h:65-79)."""
+    """Write the reference checkpoint format (modules_main.h:65-79).
+    Uses the native writer (native/refio.cpp) when available."""
+    flat = []
+    for pn in phi_nulls:
+        # order: j = x + y*L (x fastest), d1, d2
+        flat.append(np.transpose(np.asarray(pn), (3, 2, 0, 1)).reshape(-1))
+    vals = np.concatenate(flat)
+    try:
+        from . import native
+        if native.available():
+            native.write_complex_text(path, vals)
+            return
+    except Exception:
+        pass
     with open(path, "w") as f:
-        for pn in phi_nulls:
-            nc, nf, L, _ = pn.shape
-            # order: j = x + y*L  (outer j loop), d1, d2
-            arr = np.transpose(np.asarray(pn), (3, 2, 0, 1))  # [y, x, nc, nf]
-            for y in range(L):
-                for x in range(L):
-                    for d1 in range(nc):
-                        for d2 in range(nf):
-                            z = arr[y, x, d1, d2]
-                            f.write(f"{z.real:20.25e}+i{z.imag:20.25e}\n")
+        for z in vals:
+            f.write(f"{z.real:20.25e}+i{z.imag:20.25e}\n")
 
 
-def load_near_null_text(path: str, cfg) -> List[np.ndarray]:
-    """Read the reference checkpoint format (modules_main.h:39-63)."""
+def _parse_complex_lines(path: str, n_expected: int) -> np.ndarray:
+    try:
+        from . import native
+        if native.available():
+            return native.read_complex_text(path, n_expected)
+    except Exception:
+        pass
     vals = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
-            re, im = line.split("+i")
+            re, _, im = line.partition("+i")
             vals.append(complex(float(re), float(im)))
+    return np.asarray(vals)
+
+
+def load_near_null_text(path: str, cfg) -> List[np.ndarray]:
+    """Read the reference checkpoint format (modules_main.h:39-63)."""
+    total = sum(cfg.sizes[l] ** 2 * cfg.n_dof[l + 1] * cfg.n_dof[l]
+                for l in range(cfg.nlevels))
+    vals = _parse_complex_lines(path, total)
     out = []
     pos = 0
     for lvl in range(cfg.nlevels):
         L = cfg.sizes[lvl]
         nf, nc = cfg.n_dof[lvl], cfg.n_dof[lvl + 1]
         n = L * L * nc * nf
-        block = np.asarray(vals[pos:pos + n]).reshape(L, L, nc, nf)  # y,x? j=x+y*L -> outer j: y slow? j increments x fastest
-        # j = x + y*L with j looping 0..L^2-1: x = j % L fastest -> order (y, x)
-        block = block.reshape(L, L, nc, nf)          # [y, x, nc, nf]
+        # j = x + y*L with x fastest -> linear order is [y][x][d1][d2]
+        block = np.asarray(vals[pos:pos + n]).reshape(L, L, nc, nf)
         out.append(np.transpose(block, (2, 3, 1, 0)))  # [nc, nf, x, y]
         pos += n
     if pos != len(vals):
