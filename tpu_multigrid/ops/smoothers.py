@@ -50,31 +50,31 @@ def rbgs_sweep(D, D0inv, phi, r, omega: float = 1.0):
 
 
 def gs_lex_sweep(D, D0inv, phi, r, omega: float = 1.0):
-    """Exact lexicographic Gauss-Seidel, matching the reference's site order
-    (x fastest, then y; level.h:113-124). Implemented as a scan over rows of
-    constant y with an inner scan over x — O(L^2) sequential steps; use only
-    for small validation lattices.
+    """Exact lexicographic Gauss-Seidel matching the reference's in-place
+    site order — `for x { for y { update } }` (level.h:114-123).
+
+    TPU-friendly wavefront formulation: for the 5-point stencil, a site
+    (x, y)'s same-sweep dependencies (already-updated neighbors it reads:
+    (x-1,y), (x,y-1), and the periodic wraps (0,y)<-(L-1,y),
+    (x,0)<-(x,L-1)) all lie on anti-diagonals d' = x+y strictly smaller
+    than its own d = x + y, while its not-yet-updated neighbors lie on
+    larger d'. Sweeping d = 0..2L-2 and updating each full anti-diagonal
+    in parallel therefore reproduces the lexicographic trajectory EXACTLY
+    (bitwise: each site update is a single expression of the same inputs)
+    in 2L-1 steps instead of L^2.
     """
     L = phi.shape[-1]
+    x = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    diag = x + y
 
-    def row_body(phi, y):
-        def col_body(phi, x):
-            # hop at single site (x, y)
-            xp, xm = (x + 1) % L, (x - 1) % L
-            yp, ym = (y + 1) % L, (y - 1) % L
-            h = (jnp.einsum("ij,j->i", D[1, :, :, x, y], phi[:, xp, y])
-                 + jnp.einsum("ij,j->i", D[2, :, :, x, y], phi[:, xm, y])
-                 + jnp.einsum("ij,j->i", D[3, :, :, x, y], phi[:, x, yp])
-                 + jnp.einsum("ij,j->i", D[4, :, :, x, y], phi[:, x, ym]))
-            new = -jnp.einsum("ij,j->i", D0inv[:, :, x, y], h - r[:, x, y])
-            phi = phi.at[:, x, y].set(phi[:, x, y] + omega * (new - phi[:, x, y]))
-            return phi, None
+    def body(d, phi):
+        upd = _local_solve(D0inv, apply_hop(D, phi), r)
+        if omega != 1.0:
+            upd = phi + omega * (upd - phi)
+        return jnp.where((diag == d)[None], upd, phi)
 
-        phi, _ = jax.lax.scan(col_body, phi, jnp.arange(L))
-        return phi, None
-
-    phi, _ = jax.lax.scan(row_body, phi, jnp.arange(L))
-    return phi
+    return jax.lax.fori_loop(0, 2 * L - 1, body, phi)
 
 
 _SWEEPS = {"jacobi": jacobi_sweep, "rbgs": rbgs_sweep, "gs_lex": gs_lex_sweep}

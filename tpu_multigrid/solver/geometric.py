@@ -34,7 +34,7 @@ class GeoConfig:
     num_iters: int = 20
     max_iters: int = 10000
     res_threshold: float = 1.0e-14
-    smoother: str = "rbgs"        # 'jacobi' | 'rbgs'
+    smoother: str = "rbgs"        # 'jacobi' | 'rbgs' | 'gs_lex'
     dtype: str = "float64"
 
     @property
@@ -82,6 +82,19 @@ def geo_smooth(phi, r, level: int, n_sweeps: int, cfg: GeoConfig):
     if cfg.smoother == "jacobi":
         def body(_, phi):
             return _geo_sweep(phi, r, level, cfg)
+    elif cfg.smoother == "gs_lex":
+        # Exact in-place lexicographic GS (the reference's relax,
+        # 2D_laplace_Mgrid.cpp:59-64, order for x { for y }) via the
+        # anti-diagonal wavefront identity (see ops.smoothers.gs_lex_sweep).
+        x = jnp.arange(L)[:, None]
+        y = jnp.arange(L)[None, :]
+        diag = x + y
+
+        def body(_, phi):
+            def wave(d, phi):
+                return jnp.where(diag == d,
+                                 _geo_sweep(phi, r, level, cfg), phi)
+            return jax.lax.fori_loop(0, 2 * L - 1, wave, phi)
     else:  # red-black GS
         x = jnp.arange(L)[:, None]
         y = jnp.arange(L)[None, :]
