@@ -72,6 +72,34 @@ def test4_hermiticity_full(D, vec, stencil: str):
     return jnp.abs(jnp.imag(val))
 
 
+def test_gauge_invariance_solve(cfg: MGConfig, U, omega, max_iters=200):
+    """Gauge-invariance of the full MG solve (reference test program
+    mgrid_test4_gauge_invariance.cpp; f_test_gauge_transform,
+    6_ntl-mg_new_code/1_new_code/tests.h:171-215):
+
+    solving D[U] phi = b and D[U'] phi' = Omega b with
+    U'_mu(x) = Omega(x) U_mu(x) Omega(x+mu)^dagger must give
+    phi' = Omega phi. Returns max |phi' - Omega phi| (post-convergence).
+    """
+    import jax.numpy as jnp
+    from .models.operators import assemble
+    from .models.gauge import gauge_transform
+    from .solver.hierarchy import build_hierarchy, point_source
+    from .solver.driver import solve
+
+    D1 = assemble(cfg.stencil, U, cfg.m)
+    D2 = assemble(cfg.stencil, gauge_transform(U, omega), cfg.m)
+    b = point_source(cfg)
+    h1 = build_hierarchy(D1, cfg, check=False)
+    h2 = build_hierarchy(D2, cfg, check=False)
+    out1 = solve(h1, b, cfg, max_iters=max_iters)
+    out2 = solve(h2, omega[None] * b, cfg, max_iters=max_iters)
+    if not (out1.converged and out2.converged):
+        raise RuntimeError("gauge-invariance check: solves did not converge")
+    rotated = np.asarray(omega)[None] * out1.phi
+    return float(np.max(np.abs(out2.phi - rotated)))
+
+
 def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
     """Run the full pre-solve verification pass at every level and every
     NTL copy on fresh random vectors (reference f_MG_tests, tests.h:250-295).
