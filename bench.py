@@ -87,7 +87,7 @@ def bench_mg_vs_mr(L=256, tries=3):
     import jax
     import tpu_multigrid as mg
 
-    cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.07, nlevels=3, ntl=True,
+    cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=3, ntl=True,
                       num_iters=4, null_iters=100, dtype="complex64",
                       res_threshold=1e-8, smoother="rbgs")
     rng = np.random.default_rng(cfg.seed)

@@ -174,7 +174,39 @@ def _min_res_weights_sharded(D_f, r_f, xs_list, cfg):
     return jnp.linalg.solve(A, src)
 
 
-def make_sharded_cycle(cfg: MGConfig, mesh: Mesh):
+def _ntl_coarse_solves_submesh(ntl, r_q, phi_shape, cfg: MGConfig,
+                               mesh: Mesh):
+    """Distribute the n_copies independent coarse solves across device
+    sub-groups (the north star's 'all coarse levels run concurrently
+    across sub-meshes'): device (ix, iy) relaxes only the copy
+    q = (ix*my + iy) mod n_copies, and the full copy stack is
+    reassembled with a one-hot psum. With >= n_copies devices each device
+    does one coarse relax instead of n_copies."""
+    nq = cfg.n_copies
+    my = mesh.shape[AXIS_Y]
+    dev = lax.axis_index(AXIS_X) * my + lax.axis_index(AXIS_Y)
+    n_dev = mesh.shape[AXIS_X] * my
+    my_copy = dev % nq
+
+    D_me = jnp.take(ntl.D[:nq], my_copy, axis=0)
+    Dinv_me = jnp.take(ntl.D0inv[:nq], my_copy, axis=0)
+    r_me = jnp.take(jnp.stack(r_q), my_copy, axis=0)
+    kind = cfg.smoother if cfg.smoother != "gs_lex" else "rbgs"
+    phi_me = smooth(D_me, Dinv_me, jnp.zeros(phi_shape, r_me.dtype), r_me,
+                    cfg.num_iters, kind, cfg.omega)
+
+    # number of devices assigned to each copy (static)
+    counts = jnp.asarray([max(1, len([d for d in range(n_dev)
+                                      if d % nq == q]))
+                          for q in range(nq)], dtype=phi_me.real.dtype)
+    onehot = (jnp.arange(nq) == my_copy).astype(phi_me.dtype)
+    contrib = onehot[:, None, None, None] * phi_me[None]
+    phi_q = lax.psum(contrib, (AXIS_X, AXIS_Y))
+    return phi_q / counts[:, None, None, None].astype(phi_q.dtype)
+
+
+def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
+                       ntl_submesh: bool = True):
     """Build cycle_fn(hier, phis, b) -> (phis, resmag) to be used inside
     shard_map (all args already local tiles / replicated per the specs)."""
     sh = shardable_levels(cfg, mesh)
@@ -223,14 +255,21 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh):
             nq = cfg.n_copies
             r_q = [restrict_step(hier.ntl.phi_null[q], res, q + 1, l)
                    for q in range(nq)]
-            # Replicated coarse solves, all copies at once on every device.
-            phi_q0 = jnp.zeros((nq,) + phis[n].shape, phis[n].dtype)
-            relax_q = jax.vmap(
-                lambda D, Dinv, p, r: smooth(D, Dinv, p, r, cfg.num_iters,
-                                             cfg.smoother if cfg.smoother != "gs_lex" else "rbgs",
-                                             cfg.omega))
-            phi_q = relax_q(hier.ntl.D[:nq], hier.ntl.D0inv[:nq], phi_q0,
-                            jnp.stack(r_q))
+            n_dev = mesh.shape[AXIS_X] * mesh.shape[AXIS_Y]
+            if ntl_submesh and n_dev >= nq:
+                # Concurrent coarse copies across device sub-groups.
+                phi_q = _ntl_coarse_solves_submesh(
+                    hier.ntl, r_q, phis[n].shape, cfg, mesh)
+            else:
+                # Replicated coarse solves, all copies on every device.
+                phi_q0 = jnp.zeros((nq,) + phis[n].shape, phis[n].dtype)
+                relax_q = jax.vmap(
+                    lambda D, Dinv, p, r: smooth(
+                        D, Dinv, p, r, cfg.num_iters,
+                        cfg.smoother if cfg.smoother != "gs_lex" else "rbgs",
+                        cfg.omega))
+                phi_q = relax_q(hier.ntl.D[:nq], hier.ntl.D0inv[:nq],
+                                phi_q0, jnp.stack(r_q))
             xs = [prolong_step(hier.ntl.phi_null[q], phi_q[q], q + 1, l)
                   for q in range(nq)]
             if cfg.min_res:
@@ -264,10 +303,11 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh):
     return cycle_fn
 
 
-def make_sharded_solver(cfg: MGConfig, mesh: Mesh, max_iters: int):
+def make_sharded_solver(cfg: MGConfig, mesh: Mesh, max_iters: int,
+                        ntl_submesh: bool = True):
     """jit(shard_map(while_loop(cycle)))  — the full distributed solve as
     one SPMD program. Returns solver(hier, phis, b) -> (phis, iters, res)."""
-    cycle_fn = make_sharded_cycle(cfg, mesh)
+    cycle_fn = make_sharded_cycle(cfg, mesh, ntl_submesh)
 
     def run(hier, phis, b):
         def cond(state):
