@@ -1,0 +1,66 @@
+"""Auxiliary subsystems: solver-state checkpoint/resume, profiling
+accounting, multihost helpers."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_multigrid.config import MGConfig
+from tpu_multigrid.models import gauge, operators
+from tpu_multigrid.solver.hierarchy import build_hierarchy, point_source
+from tpu_multigrid.utils import checkpoint as ckpt
+from tpu_multigrid import profiling
+
+
+def _small_problem():
+    cfg = MGConfig(L=16, stencil="laplace", m=0.1, nlevels=2, num_iters=6,
+                   null_iters=60, res_threshold=1e-10)
+    D = operators.assemble("laplace", gauge.identity_gauge(16, cfg.cdtype),
+                           cfg.m)
+    return cfg, build_hierarchy(D, cfg, check=False), point_source(cfg)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg, hier, b = _small_problem()
+    path = str(tmp_path / "state.npz")
+    out1 = ckpt.solve_resumable(hier, b, cfg, path, checkpoint_every=3,
+                                max_iters=3)
+    assert os.path.exists(path) and not out1.converged
+    # resume continues from the checkpoint and converges
+    out2 = ckpt.solve_resumable(hier, b, cfg, path, checkpoint_every=3,
+                                max_iters=60)
+    assert out2.converged
+    assert out2.iters > out1.iters
+    # fresh-solve result matches the resumed result
+    from tpu_multigrid.solver.driver import solve
+    ref = solve(hier, b, cfg, max_iters=60)
+    np.testing.assert_allclose(out2.phi, ref.phi, atol=1e-8)
+
+
+def test_checkpoint_rejects_mismatched_config(tmp_path):
+    cfg, hier, b = _small_problem()
+    path = str(tmp_path / "state.npz")
+    ckpt.solve_resumable(hier, b, cfg, path, checkpoint_every=2, max_iters=2)
+    import pytest
+    with pytest.raises(ValueError):
+        ckpt.load_solver_state(path, cfg.replace(L=32))
+
+
+def test_roofline_table_runs():
+    cfg, hier, b = _small_problem()
+    tab = profiling.roofline_table(cfg, hier.levels[0].D, b)
+    names = [r["name"] for r in tab["rows"]]
+    assert "apply_D" in names and "rbgs_sweep" in names
+    for r in tab["rows"]:
+        assert r["sec"] > 0 and r["bw_frac"] > 0
+
+
+def test_multihost_helpers():
+    from tpu_multigrid.parallel import multihost
+    assert multihost.mesh_shape_for(8) == (2, 4)
+    assert multihost.mesh_shape_for(16) == (4, 4)
+    assert multihost.mesh_shape_for(7) == (1, 7)
+    m = multihost.global_mesh()
+    assert set(m.axis_names) == {"x", "y"}
+    assert multihost.is_coordinator()

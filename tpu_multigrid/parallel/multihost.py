@@ -1,0 +1,69 @@
+"""Multi-host scaffolding (SURVEY.md §5.8): jax.distributed bring-up and
+process-spanning mesh construction.
+
+On a TPU pod slice each host sees a subset of chips; `initialize()` wires
+the JAX distributed runtime (coordinator + process ids from the TPU
+environment) and `global_mesh` builds the ('x','y') lattice mesh over ALL
+devices so the shard_map solver in parallel/sharded.py runs unchanged —
+halo `ppermute`s ride ICI within a host and DCN across hosts, with the
+same program.
+
+Single-host (or single-chip) environments degrade gracefully: initialize
+becomes a no-op and the mesh covers the local devices.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .halo import AXIS_X, AXIS_Y
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed if in a multi-process environment.
+    Returns True if distributed mode is active."""
+    import jax
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+            return True
+        # TPU pods: env-based auto-detection (no-op off-pod).
+        import os
+        if os.environ.get("TPU_WORKER_HOSTNAMES") or \
+                os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            if jax.process_count() > 1:
+                return True
+            jax.distributed.initialize()
+            return jax.process_count() > 1
+    except Exception:
+        pass
+    return False
+
+
+def mesh_shape_for(n_devices: int) -> Tuple[int, int]:
+    """Near-square 2D factorization (prefers the torus-friendly split)."""
+    mx = int(np.floor(np.sqrt(n_devices)))
+    while n_devices % mx:
+        mx -= 1
+    return mx, n_devices // mx
+
+
+def global_mesh(shape: Optional[Tuple[int, int]] = None):
+    """('x','y') mesh over all devices of all processes."""
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if shape is None:
+        shape = mesh_shape_for(len(devs))
+    n = shape[0] * shape[1]
+    return Mesh(np.asarray(devs[:n]).reshape(shape), (AXIS_X, AXIS_Y))
+
+
+def is_coordinator() -> bool:
+    import jax
+    return jax.process_index() == 0

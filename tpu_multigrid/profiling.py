@@ -1,0 +1,128 @@
+"""Performance observability: per-kernel timing, bandwidth/roofline
+accounting, and jax.profiler trace capture (SURVEY.md §5.1 — the
+reference has no tracing at all; BASELINE requires roofline numbers).
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field, asdict
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from .config import MGConfig
+
+# Peak HBM bandwidth per chip (bytes/s) by device_kind prefix.
+HBM_PEAK = {
+    "TPU v2": 700e9, "TPU v3": 900e9, "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9, "TPU v5": 2765e9,
+    "TPU v6 lite": 1640e9, "TPU v6e": 1640e9,
+}
+
+
+def peak_bandwidth() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_PEAK.items():
+        if kind.lower().startswith(k.lower()):
+            return v
+    return 819e9
+
+
+def stencil_bytes(n: int, L: int, dtype_bytes: int = 8) -> int:
+    """Minimum HBM traffic of one apply_D: read D + read v + write out."""
+    return (5 * n * n + 2 * n) * L * L * dtype_bytes
+
+
+def stencil_nnz(n: int, L: int) -> int:
+    return 5 * n * n * L * L
+
+
+def time_op(fn: Callable, *args, reps: int = 100, warmup: bool = True,
+            passes: int = 3) -> float:
+    """Best-of-passes seconds per call for a jittable fn, measured as a
+    reps-long fori_loop to amortize dispatch."""
+    import jax.numpy as jnp
+
+    def many(*a):
+        def body(i, x):
+            return fn(*a[:-1], x)
+        return jax.lax.fori_loop(0, reps, body, a[-1])
+
+    g = jax.jit(many)
+    if warmup:
+        jax.block_until_ready(g(*args))
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        jax.block_until_ready(g(*args))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+@dataclass
+class RooflineRow:
+    name: str
+    sec: float
+    bytes: int
+    flops: int = 0
+    bw_frac: float = 0.0
+
+    def finish(self, peak: float):
+        self.bw_frac = self.bytes / self.sec / peak
+        return self
+
+
+def roofline_table(cfg: MGConfig, D, v, r=None) -> Dict:
+    """Measure the hot kernels of one level against the HBM roofline."""
+    from .ops.stencil import apply_D, site_inverse
+    from .ops.smoothers import jacobi_sweep, rbgs_sweep
+
+    n, L = v.shape[0], v.shape[-1]
+    dbytes = 8 if cfg.dtype == "complex64" else 16
+    peak = peak_bandwidth()
+    Dinv = site_inverse(D[0])
+    if r is None:
+        r = v * 0
+    rows = []
+    rows.append(RooflineRow(
+        "apply_D", time_op(lambda D, x: apply_D(D, x), D, v),
+        stencil_bytes(n, L, dbytes)).finish(peak))
+    rows.append(RooflineRow(
+        "jacobi_sweep",
+        time_op(lambda D, x: jacobi_sweep(D, Dinv, x, r), D, v),
+        # hop reads D(4 dirs)+v, reads r and Dinv, writes out
+        ((4 * n * n + n * n) + 3 * n) * L * L * dbytes).finish(peak))
+    rows.append(RooflineRow(
+        "rbgs_sweep",
+        time_op(lambda D, x: rbgs_sweep(D, Dinv, x, r), D, v),
+        2 * ((4 * n * n + n * n) + 3 * n) * L * L * dbytes).finish(peak))
+    try:
+        from .ops import pallas_stencil as ps
+        if ps.use_pallas(v.dtype, n, L):
+            rows.append(RooflineRow(
+                "apply_D_pallas",
+                time_op(lambda D, x: ps.apply_D_pallas(D, x), D, v),
+                stencil_bytes(n, L, dbytes)).finish(peak))
+            rows.append(RooflineRow(
+                "jacobi_pallas",
+                time_op(lambda D, x: ps.jacobi_smooth_pallas(D, Dinv, x, r,
+                                                             1), D, v),
+                ((4 * n * n + n * n) + 3 * n) * L * L * dbytes).finish(peak))
+    except Exception:
+        pass
+    return {"device": jax.devices()[0].device_kind,
+            "peak_bytes_per_s": peak,
+            "rows": [asdict(x) for x in rows]}
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/tpumg_trace"):
+    """jax.profiler trace context (view with tensorboard/xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,104 @@
+"""Checkpoint / resume (SURVEY.md §5.4).
+
+The reference checkpoints only the expensive setup artifact (near-null
+vectors, via gen_null=0/1) and gauge fields. This module covers that
+surface (see utils/io.py for the reference text formats) PLUS full
+solver-state checkpointing the reference lacks: hierarchy + solution
+vectors + iteration counter in one npz, so long solves can resume after
+preemption — standard practice for production TPU jobs.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import MGConfig
+from ..solver.hierarchy import Hierarchy, LevelOps, NTLOps
+
+
+def save_solver_state(path: str, cfg: MGConfig, hier: Hierarchy, phis,
+                      it: int, resmag: float):
+    arrs = {}
+    for l, lev in enumerate(hier.levels):
+        arrs[f"D_{l}"] = np.asarray(lev.D)
+        arrs[f"D0inv_{l}"] = np.asarray(lev.D0inv)
+        if lev.phi_null is not None:
+            arrs[f"phi_null_{l}"] = np.asarray(lev.phi_null)
+    if hier.ntl is not None:
+        arrs["ntl_phi_null"] = np.asarray(hier.ntl.phi_null)
+        arrs["ntl_D"] = np.asarray(hier.ntl.D)
+        arrs["ntl_D0inv"] = np.asarray(hier.ntl.D0inv)
+    for l, p in enumerate(phis):
+        arrs[f"phi_{l}"] = np.asarray(p)
+    meta = {"iter": it, "resmag": resmag, "nlevels": cfg.nlevels,
+            "cfg": {f: getattr(cfg, f) for f in
+                    ("L", "stencil", "m", "nlevels", "block_x", "block_y",
+                     "num_iters", "smoother", "ntl", "n_copies", "dtype")}}
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrs)
+
+
+def load_solver_state(path: str, cfg: MGConfig) -> Tuple[Hierarchy, tuple,
+                                                         int, float]:
+    import jax.numpy as jnp
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        if meta["cfg"]["L"] != cfg.L or meta["cfg"]["stencil"] != cfg.stencil:
+            raise ValueError("checkpoint config mismatch: "
+                             f"{meta['cfg']} vs current")
+        levels = []
+        for l in range(cfg.nlevels + 1):
+            pn = (jnp.asarray(z[f"phi_null_{l}"])
+                  if f"phi_null_{l}" in z.files else None)
+            levels.append(LevelOps(D=jnp.asarray(z[f"D_{l}"]),
+                                   D0inv=jnp.asarray(z[f"D0inv_{l}"]),
+                                   phi_null=pn))
+        ntl = None
+        if "ntl_D" in z.files:
+            ntl = NTLOps(phi_null=jnp.asarray(z["ntl_phi_null"]),
+                         D=jnp.asarray(z["ntl_D"]),
+                         D0inv=jnp.asarray(z["ntl_D0inv"]))
+        phis = tuple(jnp.asarray(z[f"phi_{l}"])
+                     for l in range(cfg.nlevels + 1))
+    return (Hierarchy(levels=tuple(levels), ntl=ntl), phis,
+            int(meta["iter"]), float(meta["resmag"]))
+
+
+def solve_resumable(hier, b, cfg: MGConfig, path: str,
+                    checkpoint_every: int = 50,
+                    max_iters: Optional[int] = None):
+    """Chunked solve that checkpoints every `checkpoint_every` cycles and
+    resumes from `path` if it exists."""
+    from ..solver.driver import SolveResult, _cycle_and_res
+    from ..solver.hierarchy import zero_fields
+    from ..utils.compile import aot_call
+    import jax
+    import jax.numpy as jnp
+
+    max_iters = max_iters or cfg.max_iters
+    it, resmag = 0, float("inf")
+    phis = zero_fields(cfg)
+    if os.path.exists(path):
+        hier, phis, it, resmag = load_solver_state(path, cfg)
+
+    def run_chunk(hier, phis, b):
+        def body(i, phis):
+            phis, _, _ = _cycle_and_res(hier, phis, b, cfg)
+            return phis
+        phis = jax.lax.fori_loop(0, checkpoint_every, body, phis)
+        from ..ops.stencil import residual_norm_ratio
+        return phis, residual_norm_ratio(hier.levels[0].D, phis[0], b)
+
+    while it < max_iters:
+        phis, res = aot_call(run_chunk, hier, phis, b,
+                             key=("resume", cfg, checkpoint_every))
+        it += checkpoint_every
+        resmag = float(res)
+        save_solver_state(path, cfg, hier, phis, it, resmag)
+        if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
+                or not np.isfinite(resmag):
+            break
+    return SolveResult(phi=np.asarray(phis[0]), iters=it, resmag=resmag,
+                       converged=resmag < cfg.res_threshold)
