@@ -16,6 +16,10 @@ import subprocess
 import tempfile
 
 REF = "/root/reference/code/1_laplace_scalar/2D_laplace_Mgrid.cpp"
+REF_FINAL_DIR = ("/root/reference/code/6_ntl-mg_new_code/"
+                 "3_combining_laplace_and_wilson")
+EIGEN_SHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "eigen_shim")
 
 
 def run_gen1(L: int, m: float, nlevels: int, num_iters: int,
@@ -54,6 +58,87 @@ def run_gen1(L: int, m: float, nlevels: int, num_iters: int,
         if mm:
             converged = (int(mm.group(1)), float(mm.group(2)))
     return hist, converged
+
+
+def run_final_gen(L: int, num_iters: int, block: int, m: float,
+                  nlevels: int, t_flag: int, n_copies: int,
+                  stencil: str = "wilson", gen_null: int = 1,
+                  gauge_phases=None, seed: int = 4302529,
+                  timeout: int = 900, workdir: str | None = None):
+    """Build & run the reference's FINAL generation (adaptive laplace +
+    wilson + NTL) against our minimal Eigen-compatible shim
+    (scripts/eigen_shim) — the real Eigen is not in this environment.
+
+    gauge_phases: [2, L, L] phases for the heat-bath file the program
+    reads; generated with our heat-bath if None.
+
+    Returns dict with 'history' [(iter, resmag)], 'converged'
+    (iter, resmag) or None, 'weights' per-iteration NTL weight tuples,
+    and 'workdir' (kept if workdir given) with the results_*.txt files.
+    """
+    import shutil
+    own_tmp = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="refbuild_")
+    try:
+        src_dir = os.path.join(workdir, "src")
+        os.makedirs(src_dir, exist_ok=True)
+        for f in os.listdir(REF_FINAL_DIR):
+            if f.endswith((".h", ".cpp")):
+                shutil.copy(os.path.join(REF_FINAL_DIR, f), src_dir)
+        if stencil != "wilson":
+            pth = os.path.join(src_dir, "params.h")
+            with open(pth) as f:
+                s = f.read()
+            s = s.replace('stencil        = "wilson";',
+                          f'stencil        = "{stencil}";')
+            with open(pth, "w") as f:
+                f.write(s)
+        exe = os.path.join(src_dir, "mgrid_ntl")
+        subprocess.run(["g++", "-O2", "-std=c++17", f"-I{EIGEN_SHIM}",
+                        os.path.join(src_dir, "mgrid_ntl.cpp"), "-lm",
+                        "-o", exe], check=True, capture_output=True)
+
+        # gauge config file, read at ../gauge_config_files relative to cwd
+        gdir = os.path.join(workdir, "gauge_config_files")
+        os.makedirs(gdir, exist_ok=True)
+        if gauge_phases is None:
+            import sys as _sys
+            _sys.path.insert(0, "/root/repo")
+            from tpu_multigrid.models.gauge import heatbath_ensemble
+            gauge_phases = heatbath_ensemble(L, 32.0, 100, seed)
+        import numpy as np
+        ph = np.transpose(np.asarray(gauge_phases), (1, 2, 0)).reshape(-1)
+        np.savetxt(os.path.join(gdir, f"phase_{L}_b32.0.dat"), ph,
+                   fmt="%.18e")
+
+        run_dir = os.path.join(workdir, "run")
+        os.makedirs(run_dir, exist_ok=True)
+        r = subprocess.run(
+            [exe, str(L), str(num_iters), str(block), str(gen_null),
+             repr(m), str(nlevels), str(t_flag), str(n_copies)],
+            capture_output=True, text=True, timeout=timeout, cwd=run_dir)
+
+        hist, weights = [], []
+        converged = None
+        for line in r.stdout.splitlines():
+            mm = re.search(r"At iteration (\d+), the mag residue is "
+                           r"([\d.eE+-]+|nan|inf)", line)
+            if mm and mm.group(1) != "0":
+                hist.append((int(mm.group(1)), float(mm.group(2))))
+            mm = re.search(r"Loop breaks at iteration (\d+) with residue "
+                           r"([\d.eE+-]+)", line)
+            if mm:
+                converged = (int(mm.group(1)), float(mm.group(2)))
+            if line.startswith("i=0"):
+                ws = re.findall(r"\(([-\d.e+]+),([-\d.e+]+)\)", line)
+                weights.append([complex(float(a), float(b))
+                                for a, b in ws])
+        return {"history": hist, "converged": converged,
+                "weights": weights, "workdir": workdir,
+                "stdout_tail": r.stdout[-500:]}
+    finally:
+        if own_tmp:
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
