@@ -75,6 +75,9 @@ class MGConfig:
 
     n_color: int = 1             # U(1): 1x1 link matrices
     dtype: str = "complex128"    # 'complex64' for roofline mode
+    # Pallas kernel dispatch: 'auto' uses the fused kernels where
+    # applicable (complex64 + fits VMEM + TPU backend), 'off' forces XLA.
+    pallas: str = "auto"
 
     def __post_init__(self):
         if self.stencil not in STENCILS:

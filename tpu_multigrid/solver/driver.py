@@ -142,6 +142,34 @@ def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        ntl_weights=np.asarray(weights))
 
 
+def solve_batched(hier: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
+                  n_cycles: int) -> np.ndarray:
+    """Batched multi-RHS solve — the data-parallel axis the reference
+    lacks (SURVEY.md §2.3 DP row): vmap the whole fixed-cycle-count MG
+    solve over a leading RHS batch axis. bs: [batch, n, L, L].
+
+    Runs a fixed number of cycles (per-RHS early exit would break batch
+    uniformity); returns solutions [batch, n, L, L] and the per-RHS
+    relative residuals.
+    """
+    from ..utils.compile import aot_call
+
+    def one(h, b):
+        phis = zero_fields(cfg)
+
+        def body(_, phis):
+            phis, _, _ = _cycle_and_res(h, phis, b, cfg)
+            return phis
+
+        phis = jax.lax.fori_loop(0, n_cycles, body, phis)
+        return phis[0], residual_norm_ratio(h.levels[0].D, phis[0], b)
+
+    phi, res = aot_call(lambda h, bb: jax.vmap(lambda b: one(h, b))(bb),
+                        hier, bs, key=("batched", cfg, n_cycles,
+                                       bs.shape[0]))
+    return np.asarray(phi), np.asarray(res)
+
+
 def mr_solve(D, b, tol: float = 1e-8, max_iters: int = 100000,
              chunk: int = 1000):
     """Unpreconditioned minimal-residual iteration — the baseline the MG
