@@ -57,3 +57,13 @@ def test_fits_vmem():
     assert ps.fits_vmem(2, 256)       # wilson 256^2
     assert ps.fits_vmem(1, 256)       # laplace 256^2
     assert not ps.fits_vmem(2, 1024)  # too big -> XLA fallback
+
+
+@pytest.mark.parametrize("st,TX", [("wilson", 16), ("laplace", 8)])
+def test_apply_d_pallas_tiled(interpret_pallas, st, TX):
+    """x-tiled kernel with wrapped halo rows matches XLA across tiles."""
+    cfg, D, v = _setup(st, L=64)
+    out_t = ps.apply_D_pallas_tiled(D, v, TX=TX)
+    out_x = stencil.apply_D(D, v)
+    rel = float(jnp.max(jnp.abs(out_t - out_x)) / jnp.max(jnp.abs(out_x)))
+    assert rel < 1e-5

@@ -160,6 +160,105 @@ def jacobi_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
     return (pr + 1j * pi).astype(phi.dtype)
 
 
+def _tiled_apply_kernel(n, TX, dr_ref, di_ref, vr_ref, vi_ref,
+                        upr_ref, upi_ref, dnr_ref, dni_ref,
+                        or_ref, oi_ref):
+    """One x-tile of the SpMV. Tile inputs:
+    v*_ref   [n, TX, L]  — the tile rows
+    up*_ref  [n, 1, L]   — global row (i*TX + TX) mod L  (x+1 halo)
+    dn*_ref  [n, 1, L]   — global row (i*TX - 1) mod L   (x-1 halo)
+    d*_ref   [5, n, n, TX, L]
+    """
+    vr = vr_ref[:]
+    vi = vi_ref[:]
+    # neighbor values in x: shift rows within the tile, splice halo rows
+    xp_r = jnp.concatenate([vr[:, 1:, :], upr_ref[:]], axis=1)
+    xp_i = jnp.concatenate([vi[:, 1:, :], upi_ref[:]], axis=1)
+    xm_r = jnp.concatenate([dnr_ref[:], vr[:, :-1, :]], axis=1)
+    xm_i = jnp.concatenate([dni_ref[:], vi[:, :-1, :]], axis=1)
+    # y-direction is fully inside the tile: periodic roll on the last axis
+    L = vr.shape[-1]
+    yp_r, yp_i = pltpu.roll(vr, L - 1, 2), pltpu.roll(vi, L - 1, 2)
+    ym_r, ym_i = pltpu.roll(vr, 1, 2), pltpu.roll(vi, 1, 2)
+    nbrs = {SAME: (vr, vi), XP: (xp_r, xp_i), XM: (xm_r, xm_i),
+            YP: (yp_r, yp_i), YM: (ym_r, ym_i)}
+    acc_r = [jnp.zeros_like(vr[0]) for _ in range(n)]
+    acc_i = [jnp.zeros_like(vi[0]) for _ in range(n)]
+    for s in (SAME, XP, XM, YP, YM):
+        nr, ni = nbrs[s]
+        for i in range(n):
+            for j in range(n):
+                dr = dr_ref[s, i, j]
+                di = di_ref[s, i, j]
+                acc_r[i] += dr * nr[j] - di * ni[j]
+                acc_i[i] += dr * ni[j] + di * nr[j]
+    or_ref[:] = jnp.stack(acc_r)
+    oi_ref[:] = jnp.stack(acc_i)
+
+
+def _pick_tile(n: int, L: int) -> int:
+    """Largest power-of-two row-tile whose operand footprint fits VMEM."""
+    tx = L
+    while tx > 8:
+        bytes_needed = 4 * (2 * 5 * n * n * tx + 4 * n * (tx + 2)
+                            + 2 * n * tx) * L
+        if bytes_needed <= int(0.5 * VMEM_BYTES):
+            return tx
+        tx //= 2
+    return tx
+
+
+@functools.partial(jax.jit, static_argnames=("TX",))
+def apply_D_pallas_tiled(D: jnp.ndarray, v: jnp.ndarray,
+                         TX: int | None = None) -> jnp.ndarray:
+    """x-tiled fused SpMV for lattices too large for whole-in-VMEM.
+
+    Grid over row-tiles; halo rows are delivered per tile by wrapped
+    BlockSpec index_maps (block row (i*TX±...) mod L), so the periodic
+    boundary costs no extra passes.
+    """
+    n, L = v.shape[0], v.shape[-1]
+    TX = TX or _pick_tile(n, L)
+    grid = (L // TX,)
+    dr, di = _split(D)
+    vr, vi = _split(v)
+
+    def tile_map(i):
+        return (0, i, 0)
+
+    def up_map(i):
+        return (0, (i * TX + TX) % L, 0)   # block units: row-blocks of 1
+
+    def dn_map(i):
+        return (0, (i * TX - 1) % L, 0)
+
+    vspec = pl.BlockSpec((n, TX, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    hspec_up = pl.BlockSpec((n, 1, L), up_map, memory_space=pltpu.VMEM)
+    hspec_dn = pl.BlockSpec((n, 1, L), dn_map, memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((5, n, n, TX, L), lambda i: (0, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_tiled_apply_kernel, n, TX)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct(v.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v.shape, jnp.float32)),
+        in_specs=[dspec, dspec, vspec, vspec, hspec_up, hspec_up,
+                  hspec_dn, hspec_dn],
+        out_specs=(vspec, vspec),
+    )(dr, di, vr, vi, vr, vi, vr, vi)
+    return (out_r + 1j * out_i).astype(v.dtype)
+
+
+def apply_D_pallas_auto(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Whole-in-VMEM kernel when it fits, x-tiled kernel otherwise."""
+    n, L = v.shape[0], v.shape[-1]
+    if fits_vmem(n, L):
+        return apply_D_pallas(D, v)
+    return apply_D_pallas_tiled(D, v)
+
+
 def use_pallas(dtype, n: int, L: int) -> bool:
     """Whether the Pallas path applies: complex64 + fits in VMEM + on TPU."""
     if dtype != jnp.complex64:
