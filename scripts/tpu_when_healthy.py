@@ -1,0 +1,87 @@
+"""Patient TPU measurement runner for the flaky remote-compile tunnel.
+
+Probes service health with a medium-size compile; when healthy, runs the
+outstanding TPU measurements, each in its own subprocess:
+  1. pallas vs XLA kernel benchmark   -> /tmp/pallas_bench.json
+  2. bench.py mg_vs_mr phase          -> /tmp/bench_phase_mg_vs_mr.json
+  3. __graft_entry__ entry() check    -> /tmp/entry_check.json
+Retries each until success or the deadline.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+PROBE = r'''
+import jax, jax.numpy as jnp
+import tpu_multigrid as mg
+from tpu_multigrid.ops import stencil
+from tpu_multigrid.ops.smoothers import smooth
+L=32
+cfg = mg.MGConfig(L=L, stencil="wilson", m=0.1, nlevels=1, dtype="complex64")
+D = mg.models.operators.assemble("wilson", mg.models.gauge.identity_gauge(L, cfg.cdtype), cfg.m)
+v = jnp.ones((2,L,L), cfg.cdtype)
+Dinv = stencil.site_inverse(D[0])
+jax.block_until_ready(jax.jit(lambda D,v: smooth(D, Dinv, v, v*0, 8, "rbgs"))(D, v))
+print("healthy")
+'''
+
+ENTRY = r'''
+import json, jax
+import __graft_entry__ as g
+fn, args = g.entry()
+out = jax.jit(fn)(*args)
+jax.block_until_ready(out)
+with open("/tmp/entry_check.json", "w") as f:
+    json.dump({"ok": True, "res": float(out[2])}, f)
+print("entry ok")
+'''
+
+
+def run_sub(code_or_args, timeout, is_code=True):
+    cmd = ([sys.executable, "-c", code_or_args] if is_code
+           else [sys.executable] + code_or_args)
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, cwd="/root/repo")
+        return r.returncode == 0, (r.stdout + r.stderr)[-300:]
+    except subprocess.TimeoutExpired:
+        return False, "timeout"
+
+
+def main():
+    deadline = time.time() + float(os.environ.get("TPU_HEALTH_BUDGET",
+                                                  7200))
+    tasks = {
+        "pallas": (["scripts/pallas_bench_loop.py"], "/tmp/pallas_bench.json",
+                   1200),
+        "mg_vs_mr": (["bench.py", "--phase", "mg_vs_mr", "--out",
+                      "/tmp/bench_phase_mg_vs_mr.json"],
+                     "/tmp/bench_phase_mg_vs_mr.json", 1200),
+        "entry": (ENTRY, "/tmp/entry_check.json", 900),
+    }
+    done = {k: os.path.exists(v[1]) for k, v in tasks.items()}
+    while time.time() < deadline and not all(done.values()):
+        ok, msg = run_sub(PROBE, 180)
+        if not ok:
+            print(f"[{time.strftime('%H:%M:%S')}] unhealthy: {msg[-60:]}",
+                  flush=True)
+            time.sleep(120)
+            continue
+        print(f"[{time.strftime('%H:%M:%S')}] healthy; running tasks",
+              flush=True)
+        for name, (payload, marker, tmo) in tasks.items():
+            if done[name]:
+                continue
+            is_code = isinstance(payload, str)
+            ok, msg = run_sub(payload, tmo, is_code=is_code)
+            done[name] = os.path.exists(marker)
+            print(f"  task {name}: ok={ok} done={done[name]} {msg[-80:]}",
+                  flush=True)
+        time.sleep(30)
+    print("final:", done, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,3 +107,28 @@ def test_shardable_levels():
     # nlevels=3 is level 3 (L=4 -> local (2,1)) -> replicated
     assert sh[0] and sh[1] and sh[2]
     assert not sh[3]
+
+
+@requires_8
+@pytest.mark.parametrize("stencil_name", ["laplace", "wilson"])
+def test_sharded_setup_matches_single_device(stencil_name, rng):
+    """Distributed near-null setup (halo smoother + sharded ortho +
+    sharded Galerkin) reproduces the single-device hierarchy."""
+    from tpu_multigrid.parallel.setup import build_hierarchy_sharded
+    mesh = mesh24()
+    L = 32
+    cfg = MGConfig(L=L, stencil=stencil_name, m=0.1, nlevels=2,
+                   num_iters=6, null_iters=40, res_threshold=1e-9)
+    U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = operators.assemble(cfg.stencil, U, cfg.m)
+    h_ref = build_hierarchy(D, cfg, check=False)
+    h_sh = build_hierarchy_sharded(D, cfg, mesh)
+    for l in range(cfg.nlevels):
+        np.testing.assert_allclose(np.asarray(h_sh.levels[l].phi_null),
+                                   np.asarray(h_ref.levels[l].phi_null),
+                                   atol=1e-11, err_msg=f"phi_null lvl {l}")
+        np.testing.assert_allclose(np.asarray(h_sh.levels[l + 1].D),
+                                   np.asarray(h_ref.levels[l + 1].D),
+                                   atol=1e-11, err_msg=f"Dc lvl {l+1}")
+    out = solve(h_sh, point_source(cfg), cfg, max_iters=100)
+    assert out.converged
