@@ -67,3 +67,14 @@ def test_apply_d_pallas_tiled(interpret_pallas, st, TX):
     out_x = stencil.apply_D(D, v)
     rel = float(jnp.max(jnp.abs(out_t - out_x)) / jnp.max(jnp.abs(out_x)))
     assert rel < 1e-5
+
+
+@pytest.mark.parametrize("st", ["laplace", "wilson"])
+def test_rbgs_pallas(interpret_pallas, st):
+    cfg, D, v = _setup(st)
+    Dinv = stencil.site_inverse(D[0])
+    r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
+    phi_p = ps.rbgs_smooth_pallas(D, Dinv, v, r, 2)
+    phi_x = smooth(D, Dinv, v, r, 2, "rbgs")
+    rel = float(jnp.max(jnp.abs(phi_p - phi_x)) / jnp.max(jnp.abs(phi_x)))
+    assert rel < 1e-5

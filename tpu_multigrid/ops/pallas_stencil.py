@@ -110,6 +110,76 @@ def _jacobi_kernel(n, dr_ref, di_ref, ir_ref, ii_ref, pr_ref, pi_ref,
     oi_ref[:] = jnp.stack(out_i)
 
 
+def _rbgs_kernel(n, dr_ref, di_ref, ir_ref, ii_ref, pr_ref, pi_ref,
+                 rr_ref, ri_ref, or_ref, oi_ref):
+    """One red-black GS sweep: red half-update then black half-update,
+    entirely VMEM-resident (the redundant masked FLOPs are free — the
+    sweep is HBM-bandwidth-bound)."""
+    L = pr_ref.shape[-1]
+    x = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    red = ((x + y) % 2 == 0)
+
+    def half(pr, pi, mask):
+        hr = [jnp.zeros_like(pr[0]) for _ in range(n)]
+        hi = [jnp.zeros_like(pi[0]) for _ in range(n)]
+        for s in (XP, XM, YP, YM):
+            sh, ax = _DIR_SHIFTS[s]
+            nr = _roll2(pr, sh, ax)
+            ni = _roll2(pi, sh, ax)
+            for i in range(n):
+                for j in range(n):
+                    dr = dr_ref[s, i, j]
+                    di = di_ref[s, i, j]
+                    hr[i] += dr * nr[j] - di * ni[j]
+                    hi[i] += dr * ni[j] + di * nr[j]
+        out_r, out_i = [], []
+        for i in range(n):
+            rr = jnp.zeros_like(pr[0])
+            ii = jnp.zeros_like(pr[0])
+            for j in range(n):
+                dr = ir_ref[i, j]
+                di = ii_ref[i, j]
+                ar = hr[j] - rr_ref[j]
+                ai = hi[j] - ri_ref[j]
+                rr += dr * ar - di * ai
+                ii += dr * ai + di * ar
+            out_r.append(jnp.where(mask, -rr, pr[i]))
+            out_i.append(jnp.where(mask, -ii, pi[i]))
+        return jnp.stack(out_r), jnp.stack(out_i)
+
+    pr, pi = half(pr_ref[:], pi_ref[:], red)
+    pr, pi = half(pr, pi, jnp.logical_not(red))
+    or_ref[:] = pr
+    oi_ref[:] = pi
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps",))
+def rbgs_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
+    """n_sweeps fused red-black GS sweeps (matches ops.smoothers
+    rbgs_sweep with omega=1)."""
+    n = phi.shape[0]
+    dr, di = _split(D)
+    ir, ii = _split(D0inv)
+    rr, ri = _split(r)
+    pr, pi = _split(phi)
+    kern = functools.partial(_rbgs_kernel, n)
+    call = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(phi.shape, jnp.float32)),
+        in_specs=_vmem_specs(8),
+        out_specs=tuple(_vmem_specs(2)),
+    )
+
+    def body(_, carry):
+        pr, pi = carry
+        return call(dr, di, ir, ii, pr, pi, rr, ri)
+
+    pr, pi = jax.lax.fori_loop(0, n_sweeps, body, (pr, pi))
+    return (pr + 1j * pi).astype(phi.dtype)
+
+
 def _split(z):
     return jnp.real(z).astype(jnp.float32), jnp.imag(z).astype(jnp.float32)
 

@@ -25,13 +25,14 @@ from .hierarchy import Hierarchy
 
 
 def _relax(lev, phi, r, cfg: MGConfig):
-    if (cfg.pallas == "auto" and cfg.smoother == "jacobi"
-            and cfg.omega == 1.0):
+    if (cfg.pallas == "auto" and cfg.omega == 1.0
+            and cfg.smoother in ("jacobi", "rbgs")):
         from ..ops import pallas_stencil as ps
         n, L = phi.shape[0], phi.shape[-1]
         if ps.use_pallas(phi.dtype, n, L):
-            return ps.jacobi_smooth_pallas(lev.D, lev.D0inv, phi, r,
-                                           cfg.num_iters)
+            fn = (ps.jacobi_smooth_pallas if cfg.smoother == "jacobi"
+                  else ps.rbgs_smooth_pallas)
+            return fn(lev.D, lev.D0inv, phi, r, cfg.num_iters)
     return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, cfg.smoother,
                   cfg.omega)
 
