@@ -53,12 +53,21 @@ def residual(D: jnp.ndarray, phi: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return r - apply_D(D, phi)
 
 
+def _sumsq(x) -> jnp.ndarray:
+    """Sum of |x|^2 with f64 accumulation when x64 is enabled — keeps the
+    convergence check meaningful in complex64 roofline mode (SURVEY §7.3:
+    'dot-product accumulations in f64')."""
+    import jax
+    acc = jnp.float64 if jax.config.jax_enable_x64 else None
+    return jnp.sum(jnp.abs(x) ** 2, dtype=acc)
+
+
 def residual_norm_ratio(D, phi, r) -> jnp.ndarray:
     """||r - D phi|| / ||r|| (reference f_get_residue_mag, level.h:79-98)."""
     res = residual(D, phi, r)
-    num = jnp.sqrt(jnp.sum(jnp.abs(res) ** 2))
-    den = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
-    return num / den
+    num = jnp.sqrt(_sumsq(res))
+    den = jnp.sqrt(_sumsq(r))
+    return (num / den).astype(r.real.dtype)
 
 
 def site_inverse(M: jnp.ndarray) -> jnp.ndarray:

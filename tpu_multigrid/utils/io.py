@@ -60,14 +60,20 @@ class ResultsWriter:
             self.f_phi.write(_fmt_c(z) + ",")
         self.f_phi.write("\n")
 
-        rs = [np.asarray(b)]
-        # residuals per level: level 0 uses b; deeper levels' rhs are not
-        # retained between cycles in the functional formulation, so we log
-        # the level-0 residual field at each level's operator by
-        # restriction of the current residual (superset info in jsonl).
-        res0 = np.asarray(residual(hier.levels[0].D, phis[0], b))
+        # Per-level residual fields: level 0 is r = b - D phi; deeper
+        # levels log the successively restricted residual (the coarse rhs
+        # the next cycle will see — the closest invariant quantity to the
+        # reference's per-level r fields, which are also post-cycle).
+        from ..ops.transfer import restrict
+        res = residual(hier.levels[0].D, phis[0], b)
         for l, f in enumerate(self.f_res):
-            field = res0 if l == 0 else np.asarray(phis[l])
+            if l > 0:
+                res = restrict(hier.levels[l - 1].phi_null, res,
+                               self.cfg.quad, self.cfg.block_x,
+                               self.cfg.block_y)
+            field = np.asarray(res)
+            if l == 0:
+                res0 = field
             f.write(f"{it},")
             for z in _field_to_ref_order(field):
                 f.write(_fmt_c(z) + ",")
