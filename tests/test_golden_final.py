@@ -99,3 +99,72 @@ def test_final_gen_ntl_weights_structure():
         assert w.shape == (4,)
         assert np.isfinite(w).all()
         assert np.std(np.abs(w)) > 1e-6   # min-res, not a plain average
+
+
+@needs_ref
+def test_reference_results_files_parse_with_our_loaders(tmp_path):
+    """The reference's actual results_*.txt output parses with our
+    analysis loaders (the de-facto notebook API, SURVEY §5.5) — and its
+    near-null checkpoint file round-trips through our reader."""
+    from tpu_multigrid import analysis
+    from tpu_multigrid.utils import io as mio
+
+    L, m = 16, 0.2
+    phases = gauge.heatbath_ensemble(L, 32.0, 60, 11)
+    ref = run_final_gen(L, 8, 2, m, 2, 1, 4, stencil="wilson",
+                        gauge_phases=phases, workdir=str(tmp_path))
+    run_dir = os.path.join(str(tmp_path), "run")
+    iters, fields = analysis.load_results_phi(
+        os.path.join(run_dir, "results_phi.txt"), L, 2)
+    assert len(iters) >= 2 and fields.shape[1:] == (2, L, L)
+    # residual file of level 0
+    it2, res0 = analysis.load_results_phi(
+        os.path.join(run_dir, "results_res_lvl-0.txt"), L, 2)
+    assert res0.shape[1:] == (2, L, L)
+    # the logged level-0 residual magnitudes decrease
+    mags = np.linalg.norm(res0.reshape(len(it2), -1), axis=1)
+    assert mags[-1] < mags[1]
+    # near-null checkpoint written by the reference reads with our loader
+    cfg = MGConfig(L=L, stencil="wilson", m=m, nlevels=2)
+    nn_path = os.path.join(run_dir, mio.near_null_filename(cfg))
+    assert os.path.exists(nn_path)
+    pns = mio.load_near_null_text(nn_path, cfg)
+    assert pns[0].shape == (4, 2, L, L)
+    # the reference's rows are block-orthonormal under OUR block geometry
+    from tpu_multigrid.ops.transfer import check_ortho, block_norms
+    pn0 = jnp.asarray(pns[0])
+    assert float(check_ortho(pn0, 1, 2, 2)) < 1e-10
+    np.testing.assert_allclose(
+        np.asarray(block_norms(pn0[0], 1, 2, 2)), 1.0, atol=1e-10)
+
+
+@needs_ref
+def test_solve_with_reference_near_null_vectors(tmp_path):
+    """Full interoperability: build OUR hierarchy from the REFERENCE's
+    near-null checkpoint (gen_null=0 path) and converge — both codes'
+    transfer operators are exchangeable artifacts."""
+    from tpu_multigrid.utils import io as mio
+    from tpu_multigrid.solver.driver import solve_with_history
+
+    L, m = 16, 0.2
+    phases = gauge.heatbath_ensemble(L, 32.0, 60, 11)
+    ref = run_final_gen(L, 8, 2, m, 2, 1, 4, stencil="wilson",
+                        gauge_phases=phases, workdir=str(tmp_path))
+    assert ref["converged"] is not None
+    run_dir = os.path.join(str(tmp_path), "run")
+
+    cfg = MGConfig(L=L, stencil="wilson", m=m, nlevels=2, ntl=True,
+                   num_iters=8, gen_null=False, smoother="gs_lex",
+                   res_threshold=1e-13)
+    pns = mio.load_near_null_text(
+        os.path.join(run_dir, mio.near_null_filename(cfg)), cfg)
+    pn_init = tuple(jnp.asarray(p, cfg.cdtype) for p in pns)
+    U = gauge.gauge_from_phases(phases, cfg.cdtype)
+    D = operators.assemble("wilson", U, cfg.m)
+    hier = build_hierarchy(D, cfg, phi_null_init=pn_init)
+    out = solve_with_history(hier, point_source(cfg), cfg, max_iters=50)
+    assert out.converged
+    # identical transfer operators + same smoother => cycle counts agree
+    # within 1 of the reference's own run
+    assert abs(out.iters - ref["converged"][0]) <= 1, \
+        (out.iters, ref["converged"])
