@@ -117,3 +117,26 @@ def test_history_monotone_tail():
     h = out.history
     # after the first few cycles the residual decreases monotonically
     assert np.all(np.diff(h[2:]) < 0)
+
+
+@pytest.mark.parametrize("stencil_name,ndc", [("laplace", 1),
+                                              ("laplace", 3),
+                                              ("wilson", 2)])
+def test_configurable_coarse_dof(stencil_name, ndc):
+    """Variable coarse dof (reference early-gen capability: e.g. the
+    single-null-vector variant has ndof_coarse=1)."""
+    from tpu_multigrid.models import gauge as G, operators as O
+    from tpu_multigrid.solver.hierarchy import build_hierarchy
+    from tpu_multigrid import testing as T
+    cfg = MGConfig(L=16, stencil=stencil_name, m=0.3, nlevels=2,
+                   num_iters=8, null_iters=80, res_threshold=1e-9,
+                   ndof_coarse=ndc)
+    assert cfg.n_dof[1] == ndc
+    U = G.identity_gauge(16, cfg.cdtype)
+    D = O.assemble(cfg.stencil, U, cfg.m)
+    hier = build_hierarchy(D, cfg)
+    checks = T.run_mg_tests(hier, cfg)
+    bad = {k: v for k, v in checks.items() if v > T.EPSILON}
+    assert not bad, bad
+    out = solve(hier, point_source(cfg), cfg, max_iters=300)
+    assert out.converged

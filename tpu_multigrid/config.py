@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -74,6 +74,10 @@ class MGConfig:
     seed: int = 4302529          # reference RNG seed (mgrid_ntl.cpp:35)
 
     n_color: int = 1             # U(1): 1x1 link matrices
+    # Coarse dof per site; None = stencil default (2 laplace / 4 wilson).
+    # The reference's early gens scan this (e.g. the single-null-vector
+    # variant 2_U1_..._single_null.cpp has ndof_coarse=1).
+    ndof_coarse: Optional[int] = None
     dtype: str = "complex128"    # 'complex64' for roofline mode
     # Pallas kernel dispatch: 'auto' uses the fused kernels where
     # applicable (complex64 + fits VMEM + TPU backend), 'off' forces XLA.
@@ -91,6 +95,12 @@ class MGConfig:
             raise ValueError("n_copies must be in 1..4")
         if not (1 <= self.quad <= 4):
             raise ValueError("quad must be in 1..4")
+        if self.ndof_coarse is not None:
+            if self.stencil == "wilson" and self.ndof_coarse % 2:
+                raise ValueError("wilson coarse dof must be even "
+                                 "(chirality-split rows)")
+            if self.ndof_coarse < 1:
+                raise ValueError("ndof_coarse must be >= 1")
         max_levels = self.max_levels
         if self.nlevels > max_levels:
             raise ValueError(
@@ -112,6 +122,8 @@ class MGConfig:
     @property
     def n_dof_scale(self) -> int:
         # Coarse-level dof: wilson doubles by chirality (params.h:76/82).
+        if self.ndof_coarse is not None:
+            return self.ndof_coarse
         return 4 if self.stencil == "wilson" else 2
 
     @property
