@@ -57,6 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="near-null checkpoint path (.npz or reference .txt)")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--solver", choices=["stationary", "fgmres"],
+                   default="stationary",
+                   help="outer iteration: stationary MG cycles (reference "
+                        "behavior) or MG-preconditioned flexible GMRES")
+    p.add_argument("--ndof-coarse", type=int, default=None,
+                   help="coarse dof per site (default: 2 laplace/4 wilson)")
+    p.add_argument("--roofline", action="store_true",
+                   help="print the per-kernel roofline table before solving")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the reference's NaN-guard "
+                        "analog, SURVEY §5.2)")
     return p
 
 
@@ -76,7 +87,7 @@ def parse_args(argv):
         min_res=not ns.no_min_res, gen_null=bool(ns.gen_null),
         null_iters=ns.null_iters, res_threshold=ns.res_threshold,
         max_iters=ns.max_iters, quad=ns.quad, beta=ns.beta, seed=ns.seed,
-        dtype=ns.dtype)
+        dtype=ns.dtype, ndof_coarse=ns.ndof_coarse)
     return cfg, ns
 
 
@@ -89,6 +100,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", ns.platform)
     if cfg.dtype == "complex128":
         jax.config.update("jax_enable_x64", True)
+    if getattr(ns, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
 
     import tpu_multigrid as mg
     from .models import gauge as G
@@ -145,10 +158,28 @@ def main(argv=None):
         print(f"self-tests: {len(checks)} checks, worst {worst:.3e}"
               + (f"  FAILURES: {bad}" if bad else "  (all pass)"))
 
+    if getattr(ns, "roofline", False):
+        from . import profiling
+        b0 = mg.point_source(cfg)
+        tab = profiling.roofline_table(cfg, hier.levels[0].D, b0)
+        print(f"roofline ({tab['device']}, peak "
+              f"{tab['peak_bytes_per_s']/1e9:.0f} GB/s):")
+        for row in tab["rows"]:
+            print(f"  {row['name']:16s} {row['sec']*1e6:9.1f} us  "
+                  f"{row['bytes']/1e6:8.2f} MB  "
+                  f"{row['bw_frac']*100:6.1f}% of peak")
+
     b = mg.point_source(cfg)
     writer = mio.ResultsWriter(cfg, ns.out_dir)
     t0 = time.time()
-    out = mg.solve_with_history(hier, b, cfg, writer=writer)
+    if getattr(ns, "solver", "stationary") == "fgmres":
+        from .solver.krylov import fgmres_solve
+        phi, iters, rel = fgmres_solve(hier, b, cfg)
+        from .solver.driver import SolveResult
+        out = SolveResult(phi=phi, iters=iters, resmag=rel,
+                          converged=rel < cfg.res_threshold)
+    else:
+        out = mg.solve_with_history(hier, b, cfg, writer=writer)
     dt = time.time() - t0
     writer.write_scaling_summary(out.iters)
     writer.close()
