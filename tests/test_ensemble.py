@@ -1,0 +1,31 @@
+"""Batched ensemble setup + solve."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_multigrid.config import MGConfig
+from tpu_multigrid.models import gauge
+from tpu_multigrid.solver.ensemble import (build_hierarchies_batched,
+                                           solve_ensemble)
+from tpu_multigrid.solver.hierarchy import point_source
+
+
+def test_ensemble_setup_and_solve():
+    cfg = MGConfig(L=16, stencil="wilson", m=0.2, nlevels=2, ntl=True,
+                   num_iters=6, null_iters=60, res_threshold=1e-8)
+    rng = np.random.default_rng(0)
+    Us = jnp.stack([
+        gauge.gauge_from_phases(0.2 * rng.normal(size=(2, 16, 16)),
+                                cfg.cdtype)
+        for _ in range(3)])
+    hier_b = build_hierarchies_batched(Us, cfg)
+    assert hier_b.levels[0].D.shape[0] == 3
+    assert hier_b.ntl.D.shape[:2] == (3, 4)
+    b = point_source(cfg)
+    bs = jnp.stack([b, b * 2.0, b * (1 + 1j)])
+    phi, res = solve_ensemble(hier_b, bs, cfg, n_cycles=15)
+    assert phi.shape == (3, 2, 16, 16)
+    assert (res < 1e-7).all(), res
+    # linearity sanity: config 0 solved with 2b gives 2x the phi of b?
+    # (different configs -> different operators, so only check rhs scaling
+    # is consistent per config via the residual)

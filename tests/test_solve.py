@@ -140,3 +140,24 @@ def test_configurable_coarse_dof(stencil_name, ndc):
     assert not bad, bad
     out = solve(hier, point_source(cfg), cfg, max_iters=300)
     assert out.converged
+
+
+def test_gamma1_cycle_equals_vcycle():
+    """gamma_cycle with gamma=1 reproduces the reference V-cycle exactly."""
+    from tpu_multigrid.solver.cycles import v_cycle, gamma_cycle
+    cfg, hier, D, b = setup_problem("laplace", L=16, nlevels=2, m=0.2,
+                                    null_iters=60)
+    phis = zero_fields(cfg)
+    p1 = v_cycle(hier, phis, b, cfg)
+    p2 = gamma_cycle(hier, phis, b, cfg)
+    for a, c in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_wcycle_converges_at_least_as_fast():
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=3, m=0.01,
+                                    num_iters=4)
+    out_v = solve(hier, b, cfg, max_iters=300)
+    out_w = solve(hier, b, cfg.replace(cycle_gamma=2), max_iters=300)
+    assert out_w.converged and out_v.converged
+    assert out_w.iters <= out_v.iters

@@ -70,6 +70,9 @@ class MGConfig:
     write_interval: int = 1
 
     quad: int = 1                # blocking quadrant for the telescoping path
+    # Cycle index: 1 = V-cycle (reference behavior), 2 = W-cycle (each
+    # coarse problem visited twice) — an extension beyond the reference.
+    cycle_gamma: int = 1
     beta: float = 32.0           # U(1) heat-bath coupling
     seed: int = 4302529          # reference RNG seed (mgrid_ntl.cpp:35)
 

@@ -70,6 +70,39 @@ def v_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
     return tuple(phis)
 
 
+def gamma_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray,
+                cfg: MGConfig):
+    """Recursive gamma-cycle: gamma=1 reproduces the reference's sawtooth
+    V-cycle step sequence exactly; gamma=2 is the W-cycle (each coarse
+    problem approximately solved by two child cycles) — more robust on
+    hard operators at ~1.5x fine-level cost in 2D."""
+    L = hier.levels
+    n = cfg.nlevels
+    bx, by = cfg.block_x, cfg.block_y
+    phis = list(phis)
+    gamma = cfg.cycle_gamma
+
+    def at(l, rhs):
+        phis[l] = _relax(L[l], phis[l], rhs, cfg)
+        if l == n:
+            return
+        res = residual(L[l].D, phis[l], rhs)
+        rc = restrict(L[l].phi_null, res, cfg.quad, bx, by)
+        phis[l + 1] = jnp.zeros_like(phis[l + 1])
+        for _ in range(gamma if l + 1 < n else 1):
+            at(l + 1, rc)
+        corr = prolong(L[l].phi_null, phis[l + 1], cfg.quad, bx, by)
+        phis[l] = phis[l] + corr
+        phis[l + 1] = jnp.zeros_like(phis[l + 1])
+        phis[l] = _relax(L[l], phis[l], rhs, cfg)
+
+    if n == 0:
+        phis[0] = _relax(L[0], phis[0], b, cfg)
+    else:
+        at(0, b)
+    return tuple(phis)
+
+
 def min_res_weights(D_f, r_f, xs: jnp.ndarray, cfg: MGConfig):
     """Minimal-residual recombination weights for the NTL copies.
 
@@ -158,8 +191,12 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
 
 
 def cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
-    """Dispatch: NTL if configured, else plain V-cycle. Returns (phis, a)."""
+    """Dispatch: NTL if configured, else plain V/W-cycle.
+    Returns (phis, a)."""
     if cfg.ntl and cfg.nlevels > 0:
         return ntl_cycle(hier, phis, b, cfg)
-    phis = v_cycle(hier, phis, b, cfg)
+    if cfg.cycle_gamma > 1:
+        phis = gamma_cycle(hier, phis, b, cfg)
+    else:
+        phis = v_cycle(hier, phis, b, cfg)
     return phis, jnp.zeros((cfg.n_copies,), dtype=b.dtype)
