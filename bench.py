@@ -43,11 +43,14 @@ def device_peak_bw():
 
 def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                   tries=4):
-    """Time reps x apply_D in one jitted fori_loop; return seconds/apply."""
+    """Time reps x apply_D (XLA path, and the fused Pallas kernel where
+    applicable) in one jitted fori_loop; return
+    (best_seconds/apply, n, {path: seconds}, err)."""
     import jax
     import jax.numpy as jnp
     import tpu_multigrid as mg
     from tpu_multigrid.ops.stencil import apply_D
+    from tpu_multigrid.ops import pallas_stencil as ps
 
     cfg = mg.MGConfig(L=L, stencil=stencil, m=-0.07, nlevels=1,
                       dtype=dtype)
@@ -59,23 +62,31 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     v = jnp.asarray(rng.normal(size=(n, L, L))
                     + 1j * rng.normal(size=(n, L, L))).astype(cfg.cdtype)
 
+    scale = 1.0 / (4.0 + cfg.m)
+    paths = {"xla": lambda D, v: apply_D(D, v) * scale}
+    if ps.use_pallas(v.dtype, n, L):
+        paths["pallas"] = lambda D, v: ps.apply_D_pallas(D, v) * scale
+
     last_err = None
     for attempt in range(tries):
         r = reps + attempt  # perturb program content on retry
         try:
-            def many(D, v):
-                def body(i, v):
-                    return apply_D(D, v) * (1.0 / (4.0 + cfg.m))
-                return jax.lax.fori_loop(0, r, body, v)
+            times = {}
+            for name, f in paths.items():
+                def many(D, v, f=f):
+                    def body(i, v):
+                        return f(D, v)
+                    return jax.lax.fori_loop(0, r, body, v)
 
-            fn = jax.jit(many)
-            out = fn(D, v)
-            jax.block_until_ready(out)        # warmup & compile
-            t0 = time.perf_counter()
-            out = fn(D, v)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / r
-            return dt, n, last_err
+                fn = jax.jit(many)
+                jax.block_until_ready(fn(D, v))   # warmup & compile
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(D, v))
+                    best = min(best, (time.perf_counter() - t0) / r)
+                times[name] = best
+            return min(times.values()), n, times, last_err
         except Exception as e:  # transient backend failure: retry
             last_err = str(e)[:100]
             time.sleep(3)
@@ -118,12 +129,13 @@ def bench_mg_vs_mr(L=256, tries=3):
 def phase_stencil():
     peak, kind = device_peak_bw()
     L = 256
-    dt, n, warn = bench_stencil(L=L, reps=200)
+    dt, n, times, warn = bench_stencil(L=L, reps=200)
     csize = 8  # complex64 bytes
     bytes_per_apply = (5 * n * n + 2 * n) * L * L * csize
     nnz = 5 * n * n * L * L
     return {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
             "L": L, "n": n, "sec_per_apply": dt,
+            "sec_per_apply_by_path": times,
             "bytes_per_apply": bytes_per_apply,
             "achieved_bytes_per_s": bytes_per_apply / dt,
             "nnz_per_s": nnz / dt,
