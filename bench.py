@@ -4,14 +4,19 @@ Prints ONE JSON line:
   {"metric": "wilson_stencil_spmv_nnz_per_s", "value": ..., "unit": "nnz/s",
    "vs_baseline": <achieved HBM bandwidth / peak HBM bandwidth>}
 
-vs_baseline is the roofline fraction (BASELINE.json target: >= 0.60 of the
-HBM-bandwidth speed of light for the gauged 5-point stencil SpMV).
-Secondary results (MG solve cycle counts vs unpreconditioned MR, per-size
-scan) are written to bench_details.json.
+The headline is the HBM-STREAMING regime (L=1024: the 201 MB working set
+cannot live in VMEM, so every apply genuinely streams D and v from HBM —
+the roofline fraction is an honest bandwidth fraction; BASELINE.json
+target: >= 0.60 of the speed of light for the gauged 5-point stencil
+SpMV). The solver regime (L=256: D stays VMEM-resident across smoother
+sweeps, sustaining MORE than nominal HBM bandwidth) is reported separately
+in bench_details.json — that regime is what the MG solver actually runs
+in, but its >1 "fraction" is an effective-bandwidth figure, not a roofline
+fraction. MG-vs-MR cycle counts are also in bench_details.json.
 
 Robustness: the tunneled TPU backend can fail transiently on large
 programs (see .claude/skills/verify/SKILL.md); every measurement retries
-with a perturbed program shape before giving up.
+in fresh subprocesses before giving up.
 """
 import json
 import sys
@@ -43,9 +48,9 @@ def device_peak_bw():
 
 def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                   tries=4):
-    """Time reps x apply_D (XLA path, and the fused Pallas kernel where
-    applicable) in one jitted fori_loop; return
-    (best_seconds/apply, n, {path: seconds}, err)."""
+    """Time reps x apply_D (XLA path, and the fused Pallas kernels where
+    applicable — whole-in-VMEM at small L, x-tiled at large L) in one
+    jitted fori_loop; return (best_seconds/apply, n, {path: seconds}, err)."""
     import jax
     import jax.numpy as jnp
     import tpu_multigrid as mg
@@ -66,6 +71,9 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     paths = {"xla": lambda D, v: apply_D(D, v) * scale}
     if ps.use_pallas(v.dtype, n, L):
         paths["pallas"] = lambda D, v: ps.apply_D_pallas(D, v) * scale
+    elif v.dtype == jnp.complex64:
+        paths["pallas_tiled"] = (
+            lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale)
 
     last_err = None
     for attempt in range(tries):
@@ -126,21 +134,29 @@ def bench_mg_vs_mr(L=256, tries=3):
     return {"error": err}
 
 
-def phase_stencil():
+def phase_stencil(L=256, reps=200):
     peak, kind = device_peak_bw()
-    L = 256
-    dt, n, times, warn = bench_stencil(L=L, reps=200)
+    dt, n, times, warn = bench_stencil(L=L, reps=reps)
     csize = 8  # complex64 bytes
     bytes_per_apply = (5 * n * n + 2 * n) * L * L * csize
     nnz = 5 * n * n * L * L
-    return {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
-            "L": L, "n": n, "sec_per_apply": dt,
-            "sec_per_apply_by_path": times,
-            "bytes_per_apply": bytes_per_apply,
-            "achieved_bytes_per_s": bytes_per_apply / dt,
-            "nnz_per_s": nnz / dt,
-            "roofline_fraction": bytes_per_apply / dt / peak,
-            "transient_errors": warn}
+    streaming = bytes_per_apply > 64 * 1024 * 1024   # can't live in VMEM
+    out = {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
+           "L": L, "n": n, "sec_per_apply": dt,
+           "sec_per_apply_by_path": times,
+           "bytes_per_apply": bytes_per_apply,
+           "achieved_bytes_per_s": bytes_per_apply / dt,
+           "nnz_per_s": nnz / dt,
+           "regime": "hbm_streaming" if streaming else "vmem_resident",
+           "transient_errors": warn}
+    frac = bytes_per_apply / dt / peak
+    if streaming:
+        out["roofline_fraction"] = frac
+    else:
+        # D stays VMEM-resident across fori_loop iterations: the effective
+        # bandwidth exceeds nominal HBM BW; not a roofline fraction.
+        out["effective_bw_fraction"] = frac
+    return out
 
 
 def _run_phase_subprocess(phase: str, tries: int = 3):
@@ -166,7 +182,8 @@ def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         out = sys.argv[sys.argv.index("--out") + 1]
-        result = {"stencil": phase_stencil,
+        result = {"stencil": lambda: phase_stencil(L=256, reps=200),
+                  "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
                   "mg_vs_mr": lambda: bench_mg_vs_mr(L=256)}[phase]()
         if "error" in result:
             sys.exit(1)
@@ -175,23 +192,24 @@ def main():
         return
 
     details = {}
-    st = _run_phase_subprocess("stencil")
-    details["stencil"] = st
+    stream = _run_phase_subprocess("stencil_stream")
+    details["stencil_stream_1024"] = stream
+    details["stencil_resident_256"] = _run_phase_subprocess("stencil")
     details["mg_vs_mr_256"] = _run_phase_subprocess("mg_vs_mr")
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2, default=float)
 
-    if "error" in st:
+    if "error" in stream:
         print(json.dumps({"metric": "wilson_stencil_spmv_nnz_per_s",
                           "value": 0.0, "unit": "nnz/s",
                           "vs_baseline": 0.0}))
         return
     print(json.dumps({
         "metric": "wilson_stencil_spmv_nnz_per_s",
-        "value": float(st["nnz_per_s"]),
+        "value": float(stream["nnz_per_s"]),
         "unit": "nnz/s",
-        "vs_baseline": float(st["roofline_fraction"]),
+        "vs_baseline": float(stream["roofline_fraction"]),
     }))
 
 

@@ -70,6 +70,20 @@ def test_apply_d_pallas_tiled(interpret_pallas, st, TX):
 
 
 @pytest.mark.parametrize("st", ["laplace", "wilson"])
+@pytest.mark.parametrize("kind", ["jacobi", "rbgs"])
+def test_smooth_pallas_tiled(interpret_pallas, st, kind):
+    """x-tiled smoother (grid over row-tiles, wrapped phi halos) matches
+    the XLA smoother across tile boundaries and sweeps."""
+    cfg, D, v = _setup(st, L=32)
+    Dinv = stencil.site_inverse(D[0])
+    r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
+    phi_t = ps.smooth_pallas_tiled(D, Dinv, v, r, 2, kind)
+    phi_x = smooth(D, Dinv, v, r, 2, kind)
+    rel = float(jnp.max(jnp.abs(phi_t - phi_x)) / jnp.max(jnp.abs(phi_x)))
+    assert rel < 1e-5
+
+
+@pytest.mark.parametrize("st", ["laplace", "wilson"])
 def test_rbgs_pallas(interpret_pallas, st):
     cfg, D, v = _setup(st)
     Dinv = stencil.site_inverse(D[0])

@@ -329,14 +329,149 @@ def apply_D_pallas_auto(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return apply_D_pallas_tiled(D, v)
 
 
-def use_pallas(dtype, n: int, L: int) -> bool:
-    """Whether the Pallas path applies: complex64 + fits in VMEM + on TPU."""
-    if dtype != jnp.complex64:
-        return False
-    if not fits_vmem(n, L):
-        return False
+# --- tiled smoothers --------------------------------------------------------
+
+def _tiled_update_kernel(n, TX, color, dhr_ref, dhi_ref, ir_ref, ii_ref,
+                         rr_ref, ri_ref, pr_ref, pi_ref,
+                         upr_ref, upi_ref, dnr_ref, dni_ref,
+                         or_ref, oi_ref):
+    """One x-tile of phi' = -D0inv (hop(phi) - r).
+
+    color: None -> write every site (Jacobi); 0/1 -> update only sites
+    with (x+y)%2 == color (one half of a red-black sweep), keep phi
+    elsewhere. dh*_ref are the 4 hop planes D[1:5] ([4,n,n,TX,L]); halo
+    refs carry the wrapped x±1 rows of phi.
+    """
+    pr = pr_ref[:]
+    pi = pi_ref[:]
+    xp_r = jnp.concatenate([pr[:, 1:, :], upr_ref[:]], axis=1)
+    xp_i = jnp.concatenate([pi[:, 1:, :], upi_ref[:]], axis=1)
+    xm_r = jnp.concatenate([dnr_ref[:], pr[:, :-1, :]], axis=1)
+    xm_i = jnp.concatenate([dni_ref[:], pi[:, :-1, :]], axis=1)
+    L = pr.shape[-1]
+    yp_r, yp_i = pltpu.roll(pr, L - 1, 2), pltpu.roll(pi, L - 1, 2)
+    ym_r, ym_i = pltpu.roll(pr, 1, 2), pltpu.roll(pi, 1, 2)
+    nbrs = ((xp_r, xp_i), (xm_r, xm_i), (yp_r, yp_i), (ym_r, ym_i))
+    hr = [jnp.zeros_like(pr[0]) for _ in range(n)]
+    hi = [jnp.zeros_like(pi[0]) for _ in range(n)]
+    for s in range(4):          # dh index: 0=+x,1=-x,2=+y,3=-y (D[1:5])
+        nr, ni = nbrs[s]
+        for i in range(n):
+            for j in range(n):
+                dr = dhr_ref[s, i, j]
+                di = dhi_ref[s, i, j]
+                hr[i] += dr * nr[j] - di * ni[j]
+                hi[i] += dr * ni[j] + di * nr[j]
+    if color is not None:
+        x0 = pl.program_id(0) * TX
+        x = x0 + jax.lax.broadcasted_iota(jnp.int32, (TX, L), 0)
+        y = jax.lax.broadcasted_iota(jnp.int32, (TX, L), 1)
+        mask = ((x + y) % 2 == color)
+    out_r, out_i = [], []
+    for i in range(n):
+        rr = jnp.zeros_like(pr[0])
+        ii = jnp.zeros_like(pr[0])
+        for j in range(n):
+            dr = ir_ref[i, j]
+            di = ii_ref[i, j]
+            ar = hr[j] - rr_ref[j]
+            ai = hi[j] - ri_ref[j]
+            rr += dr * ar - di * ai
+            ii += dr * ai + di * ar
+        if color is None:
+            out_r.append(-rr)
+            out_i.append(-ii)
+        else:
+            out_r.append(jnp.where(mask, -rr, pr[i]))
+            out_i.append(jnp.where(mask, -ii, pi[i]))
+    or_ref[:] = jnp.stack(out_r)
+    oi_ref[:] = jnp.stack(out_i)
+
+
+def _tiled_update_call(dhr, dhi, ir, ii, rr, ri, pr, pi, color, TX):
+    n, L = pr.shape[0], pr.shape[-1]
+    grid = (L // TX,)
+    vspec = pl.BlockSpec((n, TX, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    hspec_up = pl.BlockSpec((n, 1, L), lambda i: (0, (i * TX + TX) % L, 0),
+                            memory_space=pltpu.VMEM)
+    hspec_dn = pl.BlockSpec((n, 1, L), lambda i: (0, (i * TX - 1) % L, 0),
+                            memory_space=pltpu.VMEM)
+    dhspec = pl.BlockSpec((4, n, n, TX, L), lambda i: (0, 0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    ispec = pl.BlockSpec((n, n, TX, L), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_tiled_update_kernel, n, TX, color)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct(pr.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(pi.shape, jnp.float32)),
+        in_specs=[dhspec, dhspec, ispec, ispec, vspec, vspec, vspec, vspec,
+                  hspec_up, hspec_up, hspec_dn, hspec_dn],
+        out_specs=(vspec, vspec),
+    )(dhr, dhi, ir, ii, rr, ri, pr, pi, pr, pi, pr, pi)
+
+
+def _pick_smoother_tile(n: int, L: int) -> int:
+    tx = min(L, 256)
+    while tx > 8:
+        bytes_needed = 4 * ((2 * 4 + 2) * n * n + 8 * n + 4) * tx * L
+        if bytes_needed <= int(0.5 * VMEM_BYTES):
+            return tx
+        tx //= 2
+    return tx
+
+
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "kind"))
+def smooth_pallas_tiled(D, D0inv, phi, r, n_sweeps: int = 1,
+                        kind: str = "jacobi"):
+    """n_sweeps fused x-tiled smoother sweeps for lattices too large for
+    the whole-in-VMEM kernels. kind: 'jacobi' (one masked-free pass per
+    sweep) or 'rbgs' (red half-pass then black half-pass per sweep;
+    matches ops.smoothers rbgs_sweep with omega=1)."""
+    n, L = phi.shape[0], phi.shape[-1]
+    TX = _pick_smoother_tile(n, L)
+    dhr, dhi = _split(D[1:])
+    ir, ii = _split(D0inv)
+    rr, ri = _split(r)
+    pr, pi = _split(phi)
+
+    def body(_, carry):
+        pr, pi = carry
+        if kind == "jacobi":
+            return _tiled_update_call(dhr, dhi, ir, ii, rr, ri, pr, pi,
+                                      None, TX)
+        pr, pi = _tiled_update_call(dhr, dhi, ir, ii, rr, ri, pr, pi,
+                                    0, TX)
+        return _tiled_update_call(dhr, dhi, ir, ii, rr, ri, pr, pi,
+                                  1, TX)
+
+    pr, pi = jax.lax.fori_loop(0, n_sweeps, body, (pr, pi))
+    return (pr + 1j * pi).astype(phi.dtype)
+
+
+def _on_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform
     except Exception:
         return False
     return plat in ("tpu", "axon")
+
+
+def use_pallas(dtype, n: int, L: int) -> bool:
+    """Whether the whole-in-VMEM Pallas path applies: complex64 + fits in
+    VMEM + on TPU."""
+    return dtype == jnp.complex64 and fits_vmem(n, L) and _on_tpu()
+
+
+def smoother_mode(dtype, n: int, L: int):
+    """Pallas smoother dispatch: 'vmem' (whole-lattice fused kernels),
+    'tiled' (x-tiled kernels for large lattices), or None (XLA path)."""
+    if dtype != jnp.complex64 or not _on_tpu():
+        return None
+    if fits_vmem(n, L):
+        return "vmem"
+    if L % _pick_smoother_tile(n, L) == 0:
+        return "tiled"
+    return None

@@ -111,6 +111,16 @@ def roofline_table(cfg: MGConfig, D, v, r=None) -> Dict:
                 time_op(lambda D, x: ps.jacobi_smooth_pallas(D, Dinv, x, r,
                                                              1), D, v),
                 ((4 * n * n + n * n) + 3 * n) * L * L * dbytes).finish(peak))
+        elif ps.smoother_mode(v.dtype, n, L) == "tiled":
+            rows.append(RooflineRow(
+                "apply_D_pallas_tiled",
+                time_op(lambda D, x: ps.apply_D_pallas_tiled(D, x), D, v),
+                stencil_bytes(n, L, dbytes)).finish(peak))
+            rows.append(RooflineRow(
+                "jacobi_pallas_tiled",
+                time_op(lambda D, x: ps.smooth_pallas_tiled(
+                    D, Dinv, x, r, 1, "jacobi"), D, v),
+                ((4 * n * n + n * n) + 3 * n) * L * L * dbytes).finish(peak))
     except Exception:
         pass
     return {"device": jax.devices()[0].device_kind,

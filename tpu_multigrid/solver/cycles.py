@@ -29,10 +29,14 @@ def _relax(lev, phi, r, cfg: MGConfig):
             and cfg.smoother in ("jacobi", "rbgs")):
         from ..ops import pallas_stencil as ps
         n, L = phi.shape[0], phi.shape[-1]
-        if ps.use_pallas(phi.dtype, n, L):
+        mode = ps.smoother_mode(phi.dtype, n, L)
+        if mode == "vmem":
             fn = (ps.jacobi_smooth_pallas if cfg.smoother == "jacobi"
                   else ps.rbgs_smooth_pallas)
             return fn(lev.D, lev.D0inv, phi, r, cfg.num_iters)
+        if mode == "tiled":
+            return ps.smooth_pallas_tiled(lev.D, lev.D0inv, phi, r,
+                                          cfg.num_iters, cfg.smoother)
     return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, cfg.smoother,
                   cfg.omega)
 

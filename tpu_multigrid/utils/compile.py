@@ -10,9 +10,30 @@ through this helper.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 
 _cache: dict = {}
+
+# TPU scoped-VMEM limit for compiled solver programs, KiB. The compiler's
+# default stack limit is 16 MiB; our whole-lattice Pallas smoother kernels
+# need ~20 MiB of scoped VMEM when embedded in a full MG-cycle program
+# (observed: rbgs at n=4, L=128 inside solve_chunked asks for 19.43M and
+# the compile fails deterministically under the default limit). v5e has
+# 128 MiB of physical VMEM per core; 64 MiB leaves ample room for XLA's
+# own prefetch buffers. Override with TPU_MG_SCOPED_VMEM_KIB=0 to disable.
+SCOPED_VMEM_KIB = int(os.environ.get("TPU_MG_SCOPED_VMEM_KIB", 65536))
+
+
+def _tpu_compiler_options():
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return None
+    if plat in ("tpu", "axon") and SCOPED_VMEM_KIB:
+        return {"xla_tpu_scoped_vmem_limit_kib": SCOPED_VMEM_KIB}
+    return None
 
 
 def aot_call(fn, *args, static_argnames=(), key=None):
@@ -24,7 +45,7 @@ def aot_call(fn, *args, static_argnames=(), key=None):
                      if hasattr(a, "shape")))
     compiled = _cache.get(key)
     if compiled is None:
-        compiled = jitted.lower(*args).compile()
+        compiled = jitted.lower(*args).compile(_tpu_compiler_options())
         _cache[key] = compiled
     return compiled(*args)
 
