@@ -37,6 +37,13 @@ HBM_PEAK = {
 }
 
 
+# One-time measurement of the reference gen-1 binary's headline run
+# (L=2048, m=0.002, 9 levels, 20 GS sweeps, sum|r| < 1e-14) on this host,
+# single thread, g++ -O2 (scripts/reference_oracle.run_gen1). Filled in
+# when measured; compared against the geo2048 phase.
+_REF_GEN1_CPU = None
+
+
 def device_peak_bw():
     import jax
     kind = jax.devices()[0].device_kind
@@ -102,32 +109,77 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
 
 
 def bench_mg_vs_mr(L=256, tries=3):
-    """Wilson MG solve to 1e-8 vs unpreconditioned MR (cycle counts)."""
+    """Wilson MG solve to 1e-8 vs unpreconditioned MR (cycle counts).
+
+    complex128: the complex64 rounding plateau of the MG residual sits
+    right at the 1e-8 target (a tiny-L CPU run stalls at ~2e-7), so the
+    convergence race runs in f64 — the cycle-count reduction is the
+    metric, not raw seconds. Fallback ladder for the flaky remote TPU
+    backend (CLAUDE.md): L -> L/2 -> L/4; the cycle-reduction metric is
+    meaningful at every rung.
+    """
     import jax
     import tpu_multigrid as mg
 
-    cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=3, ntl=True,
-                      num_iters=4, null_iters=100, dtype="complex64",
-                      res_threshold=1e-8, smoother="rbgs")
-    rng = np.random.default_rng(cfg.seed)
-    U = mg.models.gauge.gauge_from_phases(
-        0.2 * rng.normal(size=(2, L, L)), cfg.cdtype)
-    D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
-    b = mg.point_source(cfg)
-    for attempt in range(tries):
+    jax.config.update("jax_enable_x64", True)
+    ladder = [L, L // 2, L // 4][:max(tries, 1)]
+    err = None
+    for Lr in ladder:
+        cfg = mg.MGConfig(L=Lr, stencil="wilson", m=-0.005, nlevels=3,
+                          ntl=True, num_iters=4, null_iters=100,
+                          dtype="complex128", res_threshold=1e-8,
+                          smoother="rbgs")
+        rng = np.random.default_rng(cfg.seed)
+        U = mg.models.gauge.gauge_from_phases(
+            0.2 * rng.normal(size=(2, Lr, Lr)), cfg.cdtype)
+        D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
+        b = mg.point_source(cfg)
         try:
             hier = mg.build_hierarchy(D, cfg, check=False)
             t0 = time.perf_counter()
             out = mg.solve_chunked(hier, b, cfg, max_iters=500, chunk=5)
             t_solve = time.perf_counter() - t0
             _, mr_iters, mr_rel = mg.mr_solve(D, b, tol=1e-8,
-                                              max_iters=300000, chunk=500)
+                                              max_iters=300000, chunk=100)
             return {
+                "L": Lr, "dtype": "complex128",
                 "mg_cycles": out.iters, "mg_res": out.resmag,
                 "mg_converged": out.converged, "mg_seconds": t_solve,
                 "mr_iters": mr_iters, "mr_res": mr_rel,
                 "cycle_reduction": (mr_iters / max(out.iters, 1)),
             }
+        except Exception as e:
+            err = f"L={Lr} pallas={pallas}: " + str(e)[:100]
+            time.sleep(3)
+    return {"error": err}
+
+
+def bench_geo2048(tries=2):
+    """The reference's own headline run (gen 1: geometric MG, L=2048,
+    m=0.002, 9 levels, 20 sweeps/level, sum|r| < 1e-14 — hardcoded at
+    2D_laplace_Mgrid.cpp:118-123) end-to-end on this chip, vs the
+    compiled reference binary's single-thread CPU wall time measured once
+    on this host (see bench_details.json 'reference_cpu')."""
+    import jax
+    from tpu_multigrid.solver.geometric import GeoConfig, geo_source, geo_solve
+
+    jax.config.update("jax_enable_x64", True)  # sum|r| < 1e-14 needs f64
+    cfg = GeoConfig()  # reference defaults
+    b = geo_source(cfg)
+    err = None
+    for attempt in range(tries):
+        try:
+            t0 = time.perf_counter()
+            phi, iters, resmag, hist = geo_solve(b, cfg, chunk=2)
+            t_total = time.perf_counter() - t0
+            # compile is in the first chunk; re-run for the warm number
+            t0 = time.perf_counter()
+            phi, iters, resmag, _ = geo_solve(b, cfg, chunk=2)
+            t_warm = time.perf_counter() - t0
+            return {"L": cfg.L, "nlevels": cfg.nlevels,
+                    "iters": iters, "final_res_l1": resmag,
+                    "converged": resmag < cfg.res_threshold,
+                    "seconds_cold": t_total, "seconds_warm": t_warm}
         except Exception as e:
             err = str(e)[:100]
             time.sleep(3)
@@ -184,7 +236,8 @@ def main():
         out = sys.argv[sys.argv.index("--out") + 1]
         result = {"stencil": lambda: phase_stencil(L=256, reps=200),
                   "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
-                  "mg_vs_mr": lambda: bench_mg_vs_mr(L=256)}[phase]()
+                  "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
+                  "geo2048": bench_geo2048}[phase]()
         if "error" in result:
             sys.exit(1)
         with open(out, "w") as f:
@@ -196,6 +249,9 @@ def main():
     details["stencil_stream_1024"] = stream
     details["stencil_resident_256"] = _run_phase_subprocess("stencil")
     details["mg_vs_mr_256"] = _run_phase_subprocess("mg_vs_mr")
+    details["geo2048"] = _run_phase_subprocess("geo2048")
+    if _REF_GEN1_CPU:
+        details["geo2048"]["reference_cpu"] = _REF_GEN1_CPU
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2, default=float)

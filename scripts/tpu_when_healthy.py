@@ -59,6 +59,12 @@ def main():
         "mg_vs_mr": (["bench.py", "--phase", "mg_vs_mr", "--out",
                       "/tmp/bench_phase_mg_vs_mr.json"],
                      "/tmp/bench_phase_mg_vs_mr.json", 1200),
+        "stencil_stream": (["bench.py", "--phase", "stencil_stream",
+                            "--out", "/tmp/bench_phase_stencil_stream.json"],
+                           "/tmp/bench_phase_stencil_stream.json", 1200),
+        "geo2048": (["bench.py", "--phase", "geo2048", "--out",
+                     "/tmp/bench_phase_geo2048.json"],
+                    "/tmp/bench_phase_geo2048.json", 1800),
         "entry": (ENTRY, "/tmp/entry_check.json", 900),
     }
     done = {k: os.path.exists(v[1]) for k, v in tasks.items()}
