@@ -66,6 +66,26 @@ def test_ntl_converges(min_res):
         assert not np.allclose(out.ntl_weights[0], 0.25)
 
 
+def test_ntl_single_interpolation_variant():
+    """gen-2 '_singleinterpolation' capability: average the COARSE copies
+    and prolongate once (telescoping_2d_laplace_Mgrid_singleinterpolation
+    .cpp:306-315) — converges, and differs from the per-copy-prolong
+    average after one cycle."""
+    from tpu_multigrid.solver.cycles import ntl_cycle
+    from tpu_multigrid.solver.hierarchy import zero_fields
+
+    cfg, hier, D, b = setup_problem("laplace", L=32, nlevels=2, m=0.05,
+                                    ntl=True)
+    cfg_si = cfg.replace(min_res=False, ntl_combine="avg_coarse")
+    out = solve_with_history(hier, b, cfg_si, max_iters=300)
+    assert out.converged, f"residual {out.resmag}"
+
+    cfg_avg = cfg.replace(min_res=False, ntl_combine="avg_prolong")
+    p1, _ = ntl_cycle(hier, zero_fields(cfg_si), b, cfg_si)
+    p2, _ = ntl_cycle(hier, zero_fields(cfg_avg), b, cfg_avg)
+    assert not np.allclose(np.asarray(p1[0]), np.asarray(p2[0]))
+
+
 def test_ntl_wilson_converges():
     cfg, hier, D, b = setup_problem("wilson", L=16, nlevels=2, m=0.1,
                                     gauged=True, ntl=True)

@@ -53,6 +53,16 @@ class MGConfig:
     ntl: bool = False            # reference t_flag
     n_copies: int = 4            # quadrant copies, 1..4
     min_res: bool = True         # minimal-residual recombination vs plain average
+    # NTL recombination of the coarse quadrant copies:
+    #   'auto'        -> 'minres' if min_res else 'avg_prolong'
+    #   'minres'      -> final-gen minimal-residual weights (f_min_res)
+    #   'avg_prolong' -> prolong each copy, average the corrections
+    #                    (gen-2 main, telescoping_2d_laplace_Mgrid.cpp:296-305)
+    #   'avg_coarse'  -> average the COARSE fields, prolong ONCE with
+    #                    cfg.quad (gen-2 "_singleinterpolation" variant;
+    #                    its committed nn=1 actually used copy 0 only —
+    #                    we average all n_copies, the variant's intent)
+    ntl_combine: str = "auto"
     # Reference quirk: the min-res RHS differs between stencils
     # (modules_main.h:336-340 vs :358-366). "auto" follows the reference.
     minres_src: str = "auto"     # 'auto' | 'x_dot_r' | 'r_dot_dx'
@@ -98,6 +108,9 @@ class MGConfig:
             raise ValueError("n_copies must be in 1..4")
         if not (1 <= self.quad <= 4):
             raise ValueError("quad must be in 1..4")
+        if self.ntl_combine not in ("auto", "minres", "avg_prolong",
+                                    "avg_coarse"):
+            raise ValueError(f"bad ntl_combine {self.ntl_combine!r}")
         if self.ndof_coarse is not None:
             if self.stencil == "wilson" and self.ndof_coarse % 2:
                 raise ValueError("wilson coarse dof must be even "

@@ -171,17 +171,28 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
                                      cfg.smoother, cfg.omega))
     phi_q = relax_q(ntl.D[:nq], ntl.D0inv[:nq], phi_q0, r_q)
 
-    # Prolongate each copy to the next-to-coarsest level.
-    xs = jnp.stack([
-        prolong(ntl.phi_null[q], phi_q[q], q + 1, bx, by) for q in range(nq)])
+    combine = cfg.ntl_combine
+    if combine == "auto":
+        combine = "minres" if cfg.min_res else "avg_prolong"
 
-    # Recombination weights.
-    if cfg.min_res:
-        a = min_res_weights(L[l].D, rs[l], xs, cfg)
+    if combine == "avg_coarse":
+        # gen-2 single-interpolation variant: average the coarse fields,
+        # prolongate once with the telescoping quadrant
+        # (telescoping_2d_laplace_Mgrid_singleinterpolation.cpp:306-315).
+        a = jnp.full((nq,), 1.0 / nq, dtype=phi_q.dtype)
+        phi_avg = jnp.mean(phi_q, axis=0)
+        corr = prolong(ntl.phi_null[0], phi_avg, cfg.quad, bx, by)
+        phis[l] = phis[l] + corr
     else:
-        a = jnp.full((nq,), 1.0 / nq, dtype=xs.dtype)
-
-    phis[l] = phis[l] + jnp.einsum("q,qnxy->nxy", a, xs)
+        # Prolongate each copy to the next-to-coarsest level.
+        xs = jnp.stack([
+            prolong(ntl.phi_null[q], phi_q[q], q + 1, bx, by)
+            for q in range(nq)])
+        if combine == "minres":
+            a = min_res_weights(L[l].D, rs[l], xs, cfg)
+        else:   # 'avg_prolong'
+            a = jnp.full((nq,), 1.0 / nq, dtype=xs.dtype)
+        phis[l] = phis[l] + jnp.einsum("q,qnxy->nxy", a, xs)
 
     # Up sweep from the next-to-coarsest level.
     for l in range(n - 1, -1, -1):
