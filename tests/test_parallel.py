@@ -99,6 +99,31 @@ def test_sharded_solve_matches_single_device(stencil_name, ntl, rng):
 
 
 @requires_8
+def test_sharded_avg_coarse_matches_single_device(rng):
+    """gen-2 single-interpolation recombination inside the shard_map
+    cycle matches the single-device path."""
+    mesh = mesh24()
+    L = 32
+    cfg = MGConfig(L=L, stencil="laplace", m=0.1, nlevels=2, ntl=True,
+                   min_res=False, ntl_combine="avg_coarse", num_iters=6,
+                   null_iters=60, res_threshold=1e-9)
+    U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = operators.assemble(cfg.stencil, U, cfg.m)
+    hier = build_hierarchy(D, cfg)
+    b = point_source(cfg)
+
+    ref = solve(hier, b, cfg, max_iters=200)
+    assert ref.converged
+
+    solver = sharded.make_sharded_solver(cfg, mesh, max_iters=200)(hier)
+    hier_s = sharded.shard_hierarchy(hier, cfg, mesh)
+    phis, iters, res = solver(hier_s, zero_fields(cfg), b)
+    assert float(res) < cfg.res_threshold
+    assert int(iters) == ref.iters
+    np.testing.assert_allclose(np.asarray(phis[0]), ref.phi, atol=1e-10)
+
+
+@requires_8
 def test_shardable_levels():
     mesh = mesh24()
     cfg = MGConfig(L=32, stencil="laplace", m=0.1, nlevels=3)

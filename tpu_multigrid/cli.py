@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ntl", action="store_true")
     p.add_argument("--n-copies", type=int, default=4)
     p.add_argument("--no-min-res", action="store_true")
+    p.add_argument("--ntl-combine", default="auto",
+                   choices=["auto", "minres", "avg_prolong", "avg_coarse"])
     p.add_argument("--gen-null", type=int, default=1,
                    help="1: generate near-null; 0: read from checkpoint")
     p.add_argument("--null-iters", type=int, default=500)
@@ -84,7 +86,8 @@ def parse_args(argv):
         L=ns.L, stencil=ns.stencil, m=ns.m, nlevels=ns.nlevels,
         block_x=ns.block, block_y=ns.block, num_iters=ns.num_iters,
         smoother=ns.smoother, ntl=ns.ntl, n_copies=ns.n_copies,
-        min_res=not ns.no_min_res, gen_null=bool(ns.gen_null),
+        min_res=not ns.no_min_res, ntl_combine=ns.ntl_combine,
+        gen_null=bool(ns.gen_null),
         null_iters=ns.null_iters, res_threshold=ns.res_threshold,
         max_iters=ns.max_iters, quad=ns.quad, beta=ns.beta, seed=ns.seed,
         dtype=ns.dtype, ndof_coarse=ns.ndof_coarse)

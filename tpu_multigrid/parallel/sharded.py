@@ -270,16 +270,26 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
                         cfg.omega))
                 phi_q = relax_q(hier.ntl.D[:nq], hier.ntl.D0inv[:nq],
                                 phi_q0, jnp.stack(r_q))
-            xs = [prolong_step(hier.ntl.phi_null[q], phi_q[q], q + 1, l)
-                  for q in range(nq)]
-            if cfg.min_res:
-                if sh[l]:
-                    a = _min_res_weights_sharded(L[l].D, rs[l], xs, cfg)
-                else:
-                    a = min_res_weights(L[l].D, rs[l], jnp.stack(xs), cfg)
+            combine = cfg.ntl_combine
+            if combine == "auto":
+                combine = "minres" if cfg.min_res else "avg_prolong"
+            if combine == "avg_coarse":
+                # gen-2 single-interpolation variant (see solver.cycles).
+                phi_avg = jnp.mean(phi_q, axis=0)
+                corr = prolong_step(hier.ntl.phi_null[0], phi_avg,
+                                    cfg.quad, l)
             else:
-                a = jnp.full((nq,), 1.0 / nq, dtype=b.dtype)
-            corr = sum(a[q] * xs[q] for q in range(nq))
+                xs = [prolong_step(hier.ntl.phi_null[q], phi_q[q], q + 1, l)
+                      for q in range(nq)]
+                if combine == "minres":
+                    if sh[l]:
+                        a = _min_res_weights_sharded(L[l].D, rs[l], xs, cfg)
+                    else:
+                        a = min_res_weights(L[l].D, rs[l], jnp.stack(xs),
+                                            cfg)
+                else:
+                    a = jnp.full((nq,), 1.0 / nq, dtype=b.dtype)
+                corr = sum(a[q] * xs[q] for q in range(nq))
             phis[l] = phis[l] + corr
             up_start = n - 1
         else:
