@@ -19,6 +19,7 @@ programs (see .claude/skills/verify/SKILL.md); every measurement retries
 in fresh subprocesses before giving up.
 """
 import json
+import os
 import sys
 import time
 
@@ -211,23 +212,56 @@ def phase_stencil(L=256, reps=200):
     return out
 
 
-def _run_phase_subprocess(phase: str, tries: int = 3):
+_CANARY = ("import jax, jax.numpy as jnp; "
+           "x = jnp.ones((128, 128), jnp.float32); "
+           "jax.block_until_ready(jax.jit(lambda a: (a @ a).sum())(x)); "
+           "print('ok')")
+
+
+def _canary_ok():
+    """Tiny-program health probe: in the relay's bad windows even tiny
+    jitted programs fail (CLAUDE.md); don't burn a phase attempt then."""
+    import subprocess
+    try:
+        r = subprocess.run([sys.executable, "-c", _CANARY],
+                           capture_output=True, text=True, timeout=240)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_phase_subprocess(phase: str, tries: int = 4,
+                          patience_s: float = None):
     """Each phase runs in its own interpreter: the tunneled backend can
     poison a process after one transient failure, and cold compiles of
     large programs may exceed the remote service's time limit — a retry
-    hits a warm server-side cache and completes fast."""
+    hits a warm server-side cache and completes fast. Between attempts,
+    wait (bounded by patience_s) until a canary probe passes, so a bad
+    window costs waiting rather than the measurement."""
     import subprocess
+    if patience_s is None:
+        patience_s = float(os.environ.get("BENCH_PATIENCE_S", 1500))
     out_file = f"/tmp/bench_phase_{phase}.json"
-    for attempt in range(tries):
+    deadline = time.time() + patience_s
+    stderr = ""
+    attempt = 0
+    while attempt < tries:
+        attempt += 1
         r = subprocess.run([sys.executable, __file__, "--phase", phase,
                             "--out", out_file], capture_output=True,
-                           text=True, timeout=1200)
+                           text=True, timeout=1800)
         if r.returncode == 0:
             with open(out_file) as f:
                 return json.load(f)
-        time.sleep(5)
-    return {"error": f"phase {phase} failed {tries}x",
-            "stderr": r.stderr[-500:]}
+        stderr = r.stderr[-500:]
+        while time.time() < deadline:
+            if _canary_ok():
+                break
+            time.sleep(45)
+        else:
+            break   # patience exhausted
+    return {"error": f"phase {phase} failed after {attempt} attempts",
+            "stderr": stderr}
 
 
 def main():
