@@ -75,46 +75,51 @@ def _apply_d_kernel(n, dr_ref, di_ref, vr_ref, vi_ref, or_ref, oi_ref):
     oi_ref[:] = jnp.stack(acc_i)
 
 
-def _jacobi_kernel(n, dr_ref, di_ref, ir_ref, ii_ref, pr_ref, pi_ref,
-                   rr_ref, ri_ref, or_ref, oi_ref):
-    """phi' = -D0inv (hop(phi) - r); D0inv passed as (ir, ii)."""
+def _jacobi_kernel(n, n_sweeps, dr_ref, di_ref, ir_ref, ii_ref, pr_ref,
+                   pi_ref, rr_ref, ri_ref, or_ref, oi_ref):
+    """n_sweeps x { phi' = -D0inv (hop(phi) - r) }, all VMEM-resident:
+    D is fetched from HBM once per smooth, not once per sweep."""
     pr = pr_ref[:]
     pi = pi_ref[:]
-    hr = [jnp.zeros_like(pr[0]) for _ in range(n)]
-    hi = [jnp.zeros_like(pi[0]) for _ in range(n)]
-    for s in (XP, XM, YP, YM):
-        sh, ax = _DIR_SHIFTS[s]
-        nr = _roll2(pr, sh, ax)
-        ni = _roll2(pi, sh, ax)
+    for _ in range(n_sweeps):
+        hr = [jnp.zeros_like(pr[0]) for _ in range(n)]
+        hi = [jnp.zeros_like(pi[0]) for _ in range(n)]
+        for s in (XP, XM, YP, YM):
+            sh, ax = _DIR_SHIFTS[s]
+            nr = _roll2(pr, sh, ax)
+            ni = _roll2(pi, sh, ax)
+            for i in range(n):
+                for j in range(n):
+                    dr = dr_ref[s, i, j]
+                    di = di_ref[s, i, j]
+                    hr[i] += dr * nr[j] - di * ni[j]
+                    hi[i] += dr * ni[j] + di * nr[j]
         for i in range(n):
+            hr[i] = hr[i] - rr_ref[i]
+            hi[i] = hi[i] - ri_ref[i]
+        out_r, out_i = [], []
+        for i in range(n):
+            rr = jnp.zeros_like(pr[0])
+            ii = jnp.zeros_like(pr[0])
             for j in range(n):
-                dr = dr_ref[s, i, j]
-                di = di_ref[s, i, j]
-                hr[i] += dr * nr[j] - di * ni[j]
-                hi[i] += dr * ni[j] + di * nr[j]
-    for i in range(n):
-        hr[i] = hr[i] - rr_ref[i]
-        hi[i] = hi[i] - ri_ref[i]
-    out_r, out_i = [], []
-    for i in range(n):
-        rr = jnp.zeros_like(pr[0])
-        ii = jnp.zeros_like(pr[0])
-        for j in range(n):
-            dr = ir_ref[i, j]
-            di = ii_ref[i, j]
-            rr += dr * hr[j] - di * hi[j]
-            ii += dr * hi[j] + di * hr[j]
-        out_r.append(-rr)
-        out_i.append(-ii)
-    or_ref[:] = jnp.stack(out_r)
-    oi_ref[:] = jnp.stack(out_i)
+                dr = ir_ref[i, j]
+                di = ii_ref[i, j]
+                rr += dr * hr[j] - di * hi[j]
+                ii += dr * hi[j] + di * hr[j]
+            out_r.append(-rr)
+            out_i.append(-ii)
+        pr = jnp.stack(out_r)
+        pi = jnp.stack(out_i)
+    or_ref[:] = pr
+    oi_ref[:] = pi
 
 
-def _rbgs_kernel(n, dr_ref, di_ref, ir_ref, ii_ref, pr_ref, pi_ref,
-                 rr_ref, ri_ref, or_ref, oi_ref):
-    """One red-black GS sweep: red half-update then black half-update,
-    entirely VMEM-resident (the redundant masked FLOPs are free — the
-    sweep is HBM-bandwidth-bound)."""
+def _rbgs_kernel(n, n_sweeps, dr_ref, di_ref, ir_ref, ii_ref, pr_ref,
+                 pi_ref, rr_ref, ri_ref, or_ref, oi_ref):
+    """n_sweeps red-black GS sweeps (red half-update then black
+    half-update), entirely VMEM-resident: D is fetched from HBM once per
+    smooth, and the redundant masked FLOPs are free — the sweep is
+    HBM-bandwidth-bound."""
     L = pr_ref.shape[-1]
     x = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     y = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -148,35 +153,32 @@ def _rbgs_kernel(n, dr_ref, di_ref, ir_ref, ii_ref, pr_ref, pi_ref,
             out_i.append(jnp.where(mask, -ii, pi[i]))
         return jnp.stack(out_r), jnp.stack(out_i)
 
-    pr, pi = half(pr_ref[:], pi_ref[:], red)
-    pr, pi = half(pr, pi, jnp.logical_not(red))
+    pr, pi = pr_ref[:], pi_ref[:]
+    for _ in range(n_sweeps):
+        pr, pi = half(pr, pi, red)
+        pr, pi = half(pr, pi, jnp.logical_not(red))
     or_ref[:] = pr
     oi_ref[:] = pi
 
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def rbgs_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
-    """n_sweeps fused red-black GS sweeps (matches ops.smoothers
-    rbgs_sweep with omega=1)."""
+    """n_sweeps fused red-black GS sweeps in ONE kernel call (matches
+    ops.smoothers rbgs_sweep with omega=1); every operand crosses HBM
+    once per smooth, not once per sweep."""
     n = phi.shape[0]
     dr, di = _split(D)
     ir, ii = _split(D0inv)
     rr, ri = _split(r)
     pr, pi = _split(phi)
-    kern = functools.partial(_rbgs_kernel, n)
-    call = pl.pallas_call(
+    kern = functools.partial(_rbgs_kernel, n, n_sweeps)
+    pr, pi = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
                    jax.ShapeDtypeStruct(phi.shape, jnp.float32)),
         in_specs=_vmem_specs(8),
         out_specs=tuple(_vmem_specs(2)),
-    )
-
-    def body(_, carry):
-        pr, pi = carry
-        return call(dr, di, ir, ii, pr, pi, rr, ri)
-
-    pr, pi = jax.lax.fori_loop(0, n_sweeps, body, (pr, pi))
+    )(dr, di, ir, ii, pr, pi, rr, ri)
     return (pr + 1j * pi).astype(phi.dtype)
 
 
@@ -207,26 +209,22 @@ def apply_D_pallas(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def jacobi_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
-    """n_sweeps fused Jacobi sweeps (matches ops.smoothers.jacobi_sweep)."""
+    """n_sweeps fused Jacobi sweeps in ONE kernel call (matches
+    ops.smoothers.jacobi_sweep); every operand crosses HBM once per
+    smooth, not once per sweep."""
     n = phi.shape[0]
     dr, di = _split(D)
     ir, ii = _split(D0inv)
     rr, ri = _split(r)
     pr, pi = _split(phi)
-    kern = functools.partial(_jacobi_kernel, n)
-    call = pl.pallas_call(
+    kern = functools.partial(_jacobi_kernel, n, n_sweeps)
+    pr, pi = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct(phi.shape, jnp.float32),
                    jax.ShapeDtypeStruct(phi.shape, jnp.float32)),
         in_specs=_vmem_specs(8),
         out_specs=tuple(_vmem_specs(2)),
-    )
-
-    def body(_, carry):
-        pr, pi = carry
-        return call(dr, di, ir, ii, pr, pi, rr, ri)
-
-    pr, pi = jax.lax.fori_loop(0, n_sweeps, body, (pr, pi))
+    )(dr, di, ir, ii, pr, pi, rr, ri)
     return (pr + 1j * pi).astype(phi.dtype)
 
 
