@@ -38,6 +38,36 @@ with open("/tmp/entry_check.json", "w") as f:
 print("entry ok")
 '''
 
+# complex64 production fast path: full NTL solve with the Pallas smoother
+# kernels in-cycle (exercises the scoped-VMEM compile fix end-to-end).
+# Target 1e-6, above the c64 rounding plateau.
+SOLVE64 = r'''
+import json, time
+import numpy as np
+import jax
+import tpu_multigrid as mg
+L = 256
+cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=3, ntl=True,
+                  num_iters=4, null_iters=100, dtype="complex64",
+                  res_threshold=1e-6, smoother="rbgs")
+rng = np.random.default_rng(cfg.seed)
+U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2, L, L)), cfg.cdtype)
+D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
+b = mg.point_source(cfg)
+t0 = time.perf_counter()
+hier = mg.build_hierarchy(D, cfg, check=False)
+jax.block_until_ready(hier.levels[0].D)
+t_setup = time.perf_counter() - t0
+t0 = time.perf_counter()
+out = mg.solve_chunked(hier, b, cfg, max_iters=200, chunk=5)
+t_solve = time.perf_counter() - t0
+assert out.converged, (out.iters, out.resmag)
+with open("/tmp/solve64_check.json", "w") as f:
+    json.dump({"ok": True, "iters": out.iters, "res": out.resmag,
+               "setup_s": t_setup, "solve_s": t_solve}, f)
+print("solve64 ok", out.iters, out.resmag)
+'''
+
 
 def run_sub(code_or_args, timeout, is_code=True):
     cmd = ([sys.executable, "-c", code_or_args] if is_code
@@ -66,6 +96,7 @@ def main():
                      "/tmp/bench_phase_geo2048.json"],
                     "/tmp/bench_phase_geo2048.json", 1800),
         "entry": (ENTRY, "/tmp/entry_check.json", 900),
+        "solve64": (SOLVE64, "/tmp/solve64_check.json", 1500),
     }
     done = {k: os.path.exists(v[1]) for k, v in tasks.items()}
     while time.time() < deadline and not all(done.values()):
