@@ -79,7 +79,7 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     paths = {"xla": lambda D, v: apply_D(D, v) * scale}
     if ps.use_pallas(v.dtype, n, L):
         paths["pallas"] = lambda D, v: ps.apply_D_pallas(D, v) * scale
-    elif v.dtype == jnp.complex64:
+    elif v.dtype == jnp.complex64 and ps._on_tpu():
         paths["pallas_tiled"] = (
             lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale)
 
@@ -150,7 +150,7 @@ def bench_mg_vs_mr(L=256, tries=3):
                 "cycle_reduction": (mr_iters / max(out.iters, 1)),
             }
         except Exception as e:
-            err = f"L={Lr} pallas={pallas}: " + str(e)[:100]
+            err = f"L={Lr}: " + str(e)[:100]
             time.sleep(3)
     return {"error": err}
 

@@ -69,6 +69,44 @@ print("solve64 ok", out.iters, out.resmag)
 '''
 
 
+# x-tiled Pallas kernels (lattices beyond whole-in-VMEM): numerics vs the
+# XLA path at L=512/1024 on the real chip (the interpret-mode pytest can't
+# catch TPU lowering rules like the (8,128) block-tile alignment of halo
+# blocks — see ops/pallas_stencil._tiled_apply_kernel).
+TILED = r'''
+import json
+import numpy as np
+import jax, jax.numpy as jnp
+import tpu_multigrid as mg
+from tpu_multigrid.ops.stencil import apply_D, site_inverse
+from tpu_multigrid.ops import pallas_stencil as ps
+from tpu_multigrid.ops.smoothers import smooth
+out = {}
+for L in (512, 1024):
+    rng = np.random.default_rng(3)
+    U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)),
+                                          jnp.complex64)
+    D = mg.models.operators.assemble("wilson", U, -0.07)
+    v = jnp.asarray(rng.normal(size=(2,L,L))
+                    + 1j*rng.normal(size=(2,L,L))).astype(jnp.complex64)
+    ref = apply_D(D, v)
+    got = ps.apply_D_pallas_tiled(D, v)
+    err = float(jnp.max(jnp.abs(got-ref))/jnp.max(jnp.abs(ref)))
+    assert err < 2e-6, (L, "apply", err)
+    out[f"apply_{L}"] = err
+    D0inv = site_inverse(D[0])
+    for kind in ("jacobi", "rbgs"):
+        o1 = ps.smooth_pallas_tiled(D, D0inv, 0*v, v, 2, kind)
+        o2 = smooth(D, D0inv, 0*v, v, 2, kind)
+        err = float(jnp.max(jnp.abs(o1-o2))/jnp.max(jnp.abs(o2)))
+        assert err < 2e-6, (L, kind, err)
+        out[f"{kind}_{L}"] = err
+with open("/tmp/tiled_check.json", "w") as f:
+    json.dump(out, f)
+print("tiled ok", out)
+'''
+
+
 def run_sub(code_or_args, timeout, is_code=True):
     cmd = ([sys.executable, "-c", code_or_args] if is_code
            else [sys.executable] + code_or_args)
@@ -97,6 +135,7 @@ def main():
                     "/tmp/bench_phase_geo2048.json", 1800),
         "entry": (ENTRY, "/tmp/entry_check.json", 900),
         "solve64": (SOLVE64, "/tmp/solve64_check.json", 1500),
+        "tiled": (TILED, "/tmp/tiled_check.json", 1200),
     }
     done = {k: os.path.exists(v[1]) for k, v in tasks.items()}
     while time.time() < deadline and not all(done.values()):

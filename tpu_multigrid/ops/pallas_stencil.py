@@ -232,18 +232,23 @@ def _tiled_apply_kernel(n, TX, dr_ref, di_ref, vr_ref, vi_ref,
                         upr_ref, upi_ref, dnr_ref, dni_ref,
                         or_ref, oi_ref):
     """One x-tile of the SpMV. Tile inputs:
-    v*_ref   [n, TX, L]  — the tile rows
-    up*_ref  [n, 1, L]   — global row (i*TX + TX) mod L  (x+1 halo)
-    dn*_ref  [n, 1, L]   — global row (i*TX - 1) mod L   (x-1 halo)
+    v*_ref   [n, TX, L] — the tile rows
+    up*_ref  [n, 8, L]  — 8-row block starting at global row
+                          (i*TX + TX) mod L; row 0 is the x+1 halo
+    dn*_ref  [n, 8, L]  — 8-row block starting at (i*TX - 8) mod L;
+                          row 7 is the x-1 halo
+    (Pallas TPU requires the last two block dims to be (8,128)-tile
+    aligned, so single-row halo blocks are not expressible — fetch the
+    aligned 8-row block containing the halo row and slice in-kernel.)
     d*_ref   [5, n, n, TX, L]
     """
     vr = vr_ref[:]
     vi = vi_ref[:]
     # neighbor values in x: shift rows within the tile, splice halo rows
-    xp_r = jnp.concatenate([vr[:, 1:, :], upr_ref[:]], axis=1)
-    xp_i = jnp.concatenate([vi[:, 1:, :], upi_ref[:]], axis=1)
-    xm_r = jnp.concatenate([dnr_ref[:], vr[:, :-1, :]], axis=1)
-    xm_i = jnp.concatenate([dni_ref[:], vi[:, :-1, :]], axis=1)
+    xp_r = jnp.concatenate([vr[:, 1:, :], upr_ref[:, 0:1, :]], axis=1)
+    xp_i = jnp.concatenate([vi[:, 1:, :], upi_ref[:, 0:1, :]], axis=1)
+    xm_r = jnp.concatenate([dnr_ref[:, 7:8, :], vr[:, :-1, :]], axis=1)
+    xm_i = jnp.concatenate([dni_ref[:, 7:8, :], vi[:, :-1, :]], axis=1)
     # y-direction is fully inside the tile: periodic roll on the last axis
     L = vr.shape[-1]
     yp_r, yp_i = pltpu.roll(vr, L - 1, 2), pltpu.roll(vi, L - 1, 2)
@@ -291,19 +296,18 @@ def apply_D_pallas_tiled(D: jnp.ndarray, v: jnp.ndarray,
     dr, di = _split(D)
     vr, vi = _split(v)
 
-    def tile_map(i):
-        return (0, i, 0)
-
+    # halo blocks are 8-row aligned (block units of 8 rows); TX is a
+    # multiple of 8 so (i*TX ± TX) is 8-aligned
     def up_map(i):
-        return (0, (i * TX + TX) % L, 0)   # block units: row-blocks of 1
+        return (0, ((i * TX + TX) % L) // 8, 0)
 
     def dn_map(i):
-        return (0, (i * TX - 1) % L, 0)
+        return (0, ((i * TX - 8) % L) // 8, 0)
 
     vspec = pl.BlockSpec((n, TX, L), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    hspec_up = pl.BlockSpec((n, 1, L), up_map, memory_space=pltpu.VMEM)
-    hspec_dn = pl.BlockSpec((n, 1, L), dn_map, memory_space=pltpu.VMEM)
+    hspec_up = pl.BlockSpec((n, 8, L), up_map, memory_space=pltpu.VMEM)
+    hspec_dn = pl.BlockSpec((n, 8, L), dn_map, memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((5, n, n, TX, L), lambda i: (0, 0, 0, i, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_tiled_apply_kernel, n, TX)
@@ -338,14 +342,16 @@ def _tiled_update_kernel(n, TX, color, dhr_ref, dhi_ref, ir_ref, ii_ref,
     color: None -> write every site (Jacobi); 0/1 -> update only sites
     with (x+y)%2 == color (one half of a red-black sweep), keep phi
     elsewhere. dh*_ref are the 4 hop planes D[1:5] ([4,n,n,TX,L]); halo
-    refs carry the wrapped x±1 rows of phi.
+    refs carry 8-row aligned blocks around the wrapped x±1 rows of phi
+    (row 0 of up = x+1 halo, row 7 of dn = x-1 halo; see
+    _tiled_apply_kernel for the alignment rationale).
     """
     pr = pr_ref[:]
     pi = pi_ref[:]
-    xp_r = jnp.concatenate([pr[:, 1:, :], upr_ref[:]], axis=1)
-    xp_i = jnp.concatenate([pi[:, 1:, :], upi_ref[:]], axis=1)
-    xm_r = jnp.concatenate([dnr_ref[:], pr[:, :-1, :]], axis=1)
-    xm_i = jnp.concatenate([dni_ref[:], pi[:, :-1, :]], axis=1)
+    xp_r = jnp.concatenate([pr[:, 1:, :], upr_ref[:, 0:1, :]], axis=1)
+    xp_i = jnp.concatenate([pi[:, 1:, :], upi_ref[:, 0:1, :]], axis=1)
+    xm_r = jnp.concatenate([dnr_ref[:, 7:8, :], pr[:, :-1, :]], axis=1)
+    xm_i = jnp.concatenate([dni_ref[:, 7:8, :], pi[:, :-1, :]], axis=1)
     L = pr.shape[-1]
     yp_r, yp_i = pltpu.roll(pr, L - 1, 2), pltpu.roll(pi, L - 1, 2)
     ym_r, ym_i = pltpu.roll(pr, 1, 2), pltpu.roll(pi, 1, 2)
@@ -391,9 +397,11 @@ def _tiled_update_call(dhr, dhi, ir, ii, rr, ri, pr, pi, color, TX):
     grid = (L // TX,)
     vspec = pl.BlockSpec((n, TX, L), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    hspec_up = pl.BlockSpec((n, 1, L), lambda i: (0, (i * TX + TX) % L, 0),
+    hspec_up = pl.BlockSpec((n, 8, L),
+                            lambda i: (0, ((i * TX + TX) % L) // 8, 0),
                             memory_space=pltpu.VMEM)
-    hspec_dn = pl.BlockSpec((n, 1, L), lambda i: (0, (i * TX - 1) % L, 0),
+    hspec_dn = pl.BlockSpec((n, 8, L),
+                            lambda i: (0, ((i * TX - 8) % L) // 8, 0),
                             memory_space=pltpu.VMEM)
     dhspec = pl.BlockSpec((4, n, n, TX, L), lambda i: (0, 0, 0, i, 0),
                           memory_space=pltpu.VMEM)
