@@ -181,3 +181,22 @@ def test_wcycle_converges_at_least_as_fast():
     out_w = solve(hier, b, cfg.replace(cycle_gamma=2), max_iters=300)
     assert out_w.converged and out_v.converged
     assert out_w.iters <= out_v.iters
+
+
+def test_iterative_refinement_matches_f64_solve():
+    """Mixed-precision IR (complex64 inner cycles, f64 defect correction)
+    reaches the f64 threshold in about the same total cycle count as the
+    all-f64 solve, and the solutions agree to f64 rounding."""
+    from tpu_multigrid.solver.driver import solve_ir
+    cfg, hier, D, b = setup_problem("wilson", L=32, nlevels=2, m=0.1,
+                                    ntl=True, gauged=True, num_iters=8,
+                                    null_iters=80)
+    cfg = cfg.replace(res_threshold=1e-12)
+    ref = solve(hier, b, cfg, max_iters=100)
+    out = solve_ir(hier, b, cfg, inner_cycles=2, max_iters=100)
+    assert ref.converged and out.converged
+    assert out.resmag < 1e-12
+    assert out.iters <= 2 * ref.iters
+    assert np.max(np.abs(out.phi - ref.phi)) < 1e-11
+    # each outer step contracts by roughly the 2-cycle MG factor
+    assert out.history[-1] < 1e-3 * out.history[0]

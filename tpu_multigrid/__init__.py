@@ -18,10 +18,11 @@ from . import config, testing
 from .config import MGConfig, from_reference_argv
 from . import models, ops, solver, parallel, utils
 from .solver.hierarchy import (Hierarchy, LevelOps, NTLOps, build_hierarchy,
-                               build_ntl, zero_fields, point_source)
+                               build_ntl, zero_fields, point_source,
+                               cast_hierarchy)
 from .solver.cycles import v_cycle, ntl_cycle, cycle, min_res_weights
 from .solver.driver import (solve, solve_chunked, solve_with_history,
-                            mr_solve, SolveResult)
+                            solve_ir, mr_solve, SolveResult)
 
 __version__ = "0.1.0"
 

@@ -59,10 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="near-null checkpoint path (.npz or reference .txt)")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
-    p.add_argument("--solver", choices=["stationary", "fgmres"],
+    p.add_argument("--solver", choices=["stationary", "fgmres", "ir"],
                    default="stationary",
                    help="outer iteration: stationary MG cycles (reference "
-                        "behavior) or MG-preconditioned flexible GMRES")
+                        "behavior), MG-preconditioned flexible GMRES, or "
+                        "mixed-precision iterative refinement (f64 defect, "
+                        "complex64 inner cycles — the TPU fast path)")
+    p.add_argument("--ir-inner-cycles", type=int, default=2,
+                   help="MG cycles per iterative-refinement outer step")
     p.add_argument("--ndof-coarse", type=int, default=None,
                    help="coarse dof per site (default: 2 laplace/4 wilson)")
     p.add_argument("--roofline", action="store_true",
@@ -181,6 +185,9 @@ def main(argv=None):
         from .solver.driver import SolveResult
         out = SolveResult(phi=phi, iters=iters, resmag=rel,
                           converged=rel < cfg.res_threshold)
+    elif getattr(ns, "solver", "stationary") == "ir":
+        out = mg.solve_ir(hier, b, cfg,
+                          inner_cycles=getattr(ns, "ir_inner_cycles", 2))
     else:
         out = mg.solve_with_history(hier, b, cfg, writer=writer)
     dt = time.time() - t0

@@ -107,6 +107,68 @@ def solve_chunked(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        converged=resmag < cfg.res_threshold)
 
 
+def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
+             inner_cycles: int = 2, max_iters: Optional[int] = None,
+             inner_dtype: str = "complex64") -> SolveResult:
+    """Mixed-precision iterative refinement (defect correction).
+
+    Outer loop in cfg.dtype (complex128 for the reference's 1e-13
+    criterion, level.h:96-97): r = b - D phi and the update are exact;
+    inner loop runs `inner_cycles` MG cycles in `inner_dtype` (complex64
+    -> the TPU fast path incl. the fused Pallas smoothers) on the
+    normalized defect D e = r/|r|. Each outer step contracts the true
+    f64 residual by the inner cycles' contraction factor, so full f64
+    accuracy is reached with only one f64 stencil apply per outer step —
+    on TPU, where f64 is software-emulated, nearly all FLOPs stay f32.
+
+    The hierarchy must be built in cfg.dtype; the inner-precision view is
+    a cast (cast_hierarchy). No reference analog (the reference is
+    uniformly double, templates.h ColorMatrix = complex<double>).
+    """
+    from ..utils.compile import aot_call
+    from .hierarchy import cast_hierarchy
+
+    max_iters = max_iters or cfg.max_iters
+    cfg_in = cfg.replace(dtype=inner_dtype)
+    hier_in = cast_hierarchy(hier, cfg_in.cdtype)
+    phi = jnp.zeros((cfg.n_dof[0], cfg.L, cfg.L), cfg.cdtype)
+    r = b
+
+    def step(hier, hier_in, phi, r, b):
+        rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
+        safe = jnp.where(rn > 0, rn, 1.0)
+        r_in = (r / safe).astype(cfg_in.cdtype)
+        es = zero_fields(cfg_in)
+
+        def body(_, es):
+            es, _ = cycle(hier_in, es, r_in, cfg_in)
+            return es
+
+        es = jax.lax.fori_loop(0, inner_cycles, body, es)
+        phi = phi + safe * es[0].astype(phi.dtype)
+        r = residual(hier.levels[0].D, phi, b)
+        rel = (jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
+               / jnp.sqrt(jnp.sum(jnp.abs(b) ** 2)))
+        return phi, r, rel
+
+    history = []
+    resmag = float("inf")
+    outer = 0
+    while outer * inner_cycles < max_iters:
+        phi, r, rel = aot_call(step, hier, hier_in, phi, r, b,
+                               key=("ir", cfg, inner_dtype, inner_cycles))
+        outer += 1
+        resmag = float(rel)
+        history.append(resmag)
+        if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
+                or not np.isfinite(resmag):
+            break
+    return SolveResult(phi=np.asarray(phi), iters=outer * inner_cycles,
+                       resmag=resmag,
+                       converged=resmag < cfg.res_threshold,
+                       history=np.asarray(history))
+
+
 def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        phis0=None, max_iters: Optional[int] = None,
                        writer=None) -> SolveResult:

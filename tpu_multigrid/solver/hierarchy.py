@@ -184,6 +184,14 @@ def build_ntl(levels, cfg: MGConfig, check: bool = True) -> NTLOps:
     return ntl
 
 
+def cast_hierarchy(hier: Hierarchy, cdtype) -> Hierarchy:
+    """Cast every operator tensor (D, D0inv, phi_null, NTL copies) to
+    `cdtype`. Used by the mixed-precision iterative-refinement solver:
+    the hierarchy is built once in complex128 and a complex64 view runs
+    the inner cycles."""
+    return jax.tree.map(lambda x: x.astype(cdtype), hier)
+
+
 def zero_fields(cfg: MGConfig) -> Tuple[jnp.ndarray, ...]:
     """Zero solution vectors, one per level."""
     return tuple(
