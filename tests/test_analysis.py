@@ -59,3 +59,35 @@ def test_gauge_invariance_of_solve(rng):
                         dtype=cfg.cdtype)
     viol = testing.test_gauge_invariance_solve(cfg, U, omega)
     assert viol < 1e-8, viol
+
+
+def test_staggered_and_naive_spectra():
+    """The spectrum-calc notebook's other fermion discretizations
+    (spectrum_calc/1_compute_spectrum.ipynb f_get_A): free staggered and
+    naive operators are anti-hermitian + m, so their spectra are
+    m + i*(imaginary); naive fermions show the 2D doublers (each
+    eigenvalue 4x degenerate at L even); staggered eigenvalues are
+    m +- i sqrt(sin^2 kx + sin^2 ky) over a halved Brillouin zone."""
+    from tpu_multigrid import analysis
+    L, m = 8, 0.1
+    for A in (analysis.staggered_dense(L, m), analysis.naive_dense(L, m)):
+        ev = np.linalg.eigvals(A)
+        assert np.allclose(ev.real, m, atol=1e-10)
+    ev_n = np.linalg.eigvals(analysis.naive_dense(L, m))
+    # doubling: the naive operator's eigenvalues are those of the
+    # analytic dispersion i*sqrt(sin^2 kx + sin^2 ky) with multiplicity
+    k = 2.0 * np.pi * np.arange(L) / L
+    kx, ky = np.meshgrid(k, k, indexing="ij")
+    disp = np.sqrt(np.sin(kx) ** 2 + np.sin(ky) ** 2).ravel()
+    want = np.concatenate([disp, -disp])
+    np.testing.assert_allclose(np.sort(ev_n.imag), np.sort(want), atol=1e-9)
+
+
+def test_wilson_free_spectrum_conventions():
+    from tpu_multigrid import analysis
+    from tpu_multigrid.models import operators
+    np.testing.assert_allclose(
+        np.sort_complex(analysis.wilson_free_spectrum(8, 0.1)),
+        np.sort_complex(operators.wilson_free_spectrum(8, 0.1)))
+    nb = analysis.wilson_free_spectrum(8, 0.1, convention="notebook")
+    assert nb.shape == (128,)

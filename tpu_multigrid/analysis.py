@@ -43,6 +43,74 @@ def laplace_free_spectrum(L: int, m: float) -> np.ndarray:
     return (-(4.0 + m) + 2 * np.cos(kx) + 2 * np.cos(ky)).ravel()
 
 
+def wilson_free_spectrum(L: int, m: float,
+                         convention: str = "solver") -> np.ndarray:
+    """Analytic free-field Wilson eigenvalues over the Brillouin zone
+    (spectrum_calc/1_compute_spectrum.ipynb, 'Analytical Wilson in 2D'
+    markdown + final code cell).
+
+    convention='solver': the solver's normalization (hopping weight 1/2,
+    level.h:155-172) — delegates to models.operators.wilson_free_spectrum,
+    which is pinned against the dense assembled operator in
+    tests/test_operators.py.
+    convention='notebook': the notebook's un-halved variant
+    (2+m) + 2 cos kx + 2 cos ky +- 2i sqrt(...), as written in its
+    markdown cell (eigenvalues of ITS matrix, not the solver's).
+    """
+    if convention == "solver":
+        from .models.operators import wilson_free_spectrum as _wfs
+        return _wfs(L, m)
+    if convention != "notebook":
+        raise ValueError(f"bad convention {convention!r}")
+    k = 2.0 * np.pi * np.arange(L) / L
+    kx, ky = np.meshgrid(k, k, indexing="ij")
+    re = (2.0 + m) + 2 * np.cos(kx) + 2 * np.cos(ky)
+    im = 2 * np.sqrt(np.sin(kx) ** 2 + np.sin(ky) ** 2)
+    return np.concatenate([(re + 1j * im).ravel(), (re - 1j * im).ravel()])
+
+
+def staggered_dense(L: int, m: float = 0.0) -> np.ndarray:
+    """Dense free staggered-fermion operator (one component per site):
+    sum_mu eta_mu(x) [psi(x+mu) - psi(x-mu)]/2 + m, with eta_x = 1,
+    eta_y(x) = (-1)^x (spectrum_calc/1_compute_spectrum.ipynb f_get_A
+    'staggered' branch — the notebook folds the mass in as -m^2 on the
+    diagonal of -A; here the hopping is halved to the standard 1/(2a)
+    normalization and the mass enters as +m)."""
+    A = np.zeros((L * L, L * L), dtype=np.complex128)
+    idx = lambda x, y: x + y * L
+    for x in range(L):
+        for y in range(L):
+            i = idx(x, y)
+            eta_y = (-1.0) ** x
+            A[i, idx((x + 1) % L, y)] += 0.5
+            A[i, idx((x - 1) % L, y)] -= 0.5
+            A[i, idx(x, (y + 1) % L)] += 0.5 * eta_y
+            A[i, idx(x, (y - 1) % L)] -= 0.5 * eta_y
+            A[i, i] += m
+    return A
+
+
+def naive_dense(L: int, m: float = 0.0) -> np.ndarray:
+    """Dense free naive-fermion operator (2 spinor components):
+    sum_mu gamma_mu [psi(x+mu) - psi(x-mu)]/2 + m, gamma_1 = sigma_x,
+    gamma_2 = sigma_y (spectrum_calc notebook 'Naive fermions' cell).
+    Exhibits the doublers the Wilson term removes."""
+    g1 = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+    g2 = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+    N = 2 * L * L
+    A = np.zeros((N, N), dtype=np.complex128)
+    blk = lambda x, y: 2 * (x + y * L)
+    for x in range(L):
+        for y in range(L):
+            i = blk(x, y)
+            for (dx, dy, g, s) in ((1, 0, g1, 0.5), (-1, 0, g1, -0.5),
+                                   (0, 1, g2, 0.5), (0, -1, g2, -0.5)):
+                j = blk((x + dx) % L, (y + dy) % L)
+                A[i:i + 2, j:j + 2] += s * g
+            A[i:i + 2, i:i + 2] += m * np.eye(2)
+    return A
+
+
 def mode_error_spectrum(phi: np.ndarray, phi_exact: np.ndarray) -> np.ndarray:
     """|FFT(error)| per momentum mode, summed over dof: [L, L] real."""
     err = np.asarray(phi) - np.asarray(phi_exact)
