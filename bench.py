@@ -84,11 +84,16 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
             lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale)
 
     last_err = None
+    times = {}
     for attempt in range(tries):
         r = reps + attempt  # perturb program content on retry
-        try:
-            times = {}
-            for name, f in paths.items():
+        for name, f in paths.items():
+            if name in times:
+                continue
+            # each path measured + retried independently: a Pallas path
+            # failing to lower on the relay must not forfeit the XLA
+            # measurement (the headline is min over surviving paths)
+            try:
                 def many(D, v, f=f):
                     def body(i, v):
                         return f(D, v)
@@ -102,11 +107,17 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                     jax.block_until_ready(fn(D, v))
                     best = min(best, (time.perf_counter() - t0) / r)
                 times[name] = best
-            return min(times.values()), n, times, last_err
-        except Exception as e:  # transient backend failure: retry
-            last_err = str(e)[:100]
-            time.sleep(3)
-    raise RuntimeError(f"stencil bench failed after {tries} tries: {last_err}")
+            except Exception as e:  # transient backend failure: retry
+                last_err = f"{name}: " + str(e)[:100]
+        if "xla" in times and len(times) == len(paths):
+            break
+        if "xla" in times and attempt >= 1:
+            break   # give failing alt paths one extra shot, then move on
+        time.sleep(3)
+    if not times:
+        raise RuntimeError(
+            f"stencil bench failed after {tries} tries: {last_err}")
+    return min(times.values()), n, times, last_err
 
 
 def bench_mg_vs_mr(L=256, tries=3):
