@@ -14,13 +14,27 @@ in bench_details.json — that regime is what the MG solver actually runs
 in, but its >1 "fraction" is an effective-bandwidth figure, not a roofline
 fraction. MG-vs-MR cycle counts are also in bench_details.json.
 
+Time discipline (round-1 lesson: the driver killed the bench before any
+output): the whole run fits a hard wall-clock budget (BENCH_BUDGET_S,
+default 1200 s).
+- The HEADLINE phase runs first and its JSON line is printed (flushed)
+  the moment it finishes — detail phases only enrich bench_details.json
+  and are skipped when the remaining budget is short.
+- A watchdog thread prints a fallback headline line and exits the process
+  shortly before the budget expires, so the driver always captures a line
+  even if a phase wedges.
+
 Robustness: the tunneled TPU backend can fail transiently on large
-programs (see .claude/skills/verify/SKILL.md); every measurement retries
-in fresh subprocesses before giving up.
+programs (see .claude/skills/verify/SKILL.md); every measurement runs in
+a fresh subprocess (one failure can poison a process) with retries gated
+on a tiny-program canary probe.
 """
+import functools
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -36,6 +50,13 @@ HBM_PEAK = {
     "TPU v6e": 1640e9,
     "cpu": 100e9,               # placeholder for host runs
 }
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 900))
+_T0 = time.time()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - _T0)
 
 
 # One-time measurement of the reference gen-1 binary's headline run
@@ -55,10 +76,19 @@ def device_peak_bw():
 
 
 def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
-                  tries=4):
+                  tries=2):
     """Time reps x apply_D (XLA path, and the fused Pallas kernels where
     applicable — whole-in-VMEM at small L, x-tiled at large L) in one
-    jitted fori_loop; return (best_seconds/apply, n, {path: seconds}, err)."""
+    jitted fori_loop; return (best_seconds/apply, n, {path: seconds}, err).
+
+    Timing discipline for the axon relay: block_until_ready does NOT
+    synchronize there (and errors only surface at value fetch), so each
+    measurement fetches an f32 scalar computed INSIDE the jitted loop.
+    The per-apply time is the difference between a 2r-rep and an r-rep
+    loop, which cancels the (large, variable) relay round-trip latency.
+    A physical-sanity guard rejects measurements implying > 1.5x the HBM
+    peak in the streaming regime (the relay 'succeeding' without running
+    the program)."""
     import jax
     import jax.numpy as jnp
     import tpu_multigrid as mg
@@ -79,14 +109,18 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     paths = {"xla": lambda D, v: apply_D(D, v) * scale}
     if ps.use_pallas(v.dtype, n, L):
         paths["pallas"] = lambda D, v: ps.apply_D_pallas(D, v) * scale
-    elif v.dtype == jnp.complex64 and ps._on_tpu():
+    elif (v.dtype == jnp.complex64 and ps._on_tpu()
+          and ps._pick_tile(n, L)):
         paths["pallas_tiled"] = (
             lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale)
+
+    peak, _ = device_peak_bw()
+    bytes_per_apply = (5 * n * n + 2 * n) * L * L * 8
+    min_dt = bytes_per_apply / (1.5 * peak)   # faster than this = bogus
 
     last_err = None
     times = {}
     for attempt in range(tries):
-        r = reps + attempt  # perturb program content on retry
         for name, f in paths.items():
             if name in times:
                 continue
@@ -94,19 +128,33 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
             # failing to lower on the relay must not forfeit the XLA
             # measurement (the headline is min over surviving paths)
             try:
-                def many(D, v, f=f):
+                def loop(D, v, r, f=f):
                     def body(i, v):
                         return f(D, v)
-                    return jax.lax.fori_loop(0, r, body, v)
+                    v = jax.lax.fori_loop(0, r, body, v)
+                    # f32 scalar fetched to force real execution
+                    return (jnp.real(v) ** 2 + jnp.imag(v) ** 2).sum()
 
-                fn = jax.jit(many)
-                jax.block_until_ready(fn(D, v))   # warmup & compile
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(fn(D, v))
-                    best = min(best, (time.perf_counter() - t0) / r)
-                times[name] = best
+                r = reps + attempt  # perturb program content on retry
+                fns = [jax.jit(functools.partial(loop, r=k))
+                       for k in (r, 2 * r)]
+                vals, timed = [], []
+                for fn in fns:
+                    vals.append(float(fn(D, v)))       # warmup & compile
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        float(fn(D, v))                # fetch = sync
+                        best = min(best, time.perf_counter() - t0)
+                    timed.append(best)
+                if not all(np.isfinite(x) for x in vals):
+                    raise RuntimeError(f"non-finite loop output {vals}")
+                dt = (timed[1] - timed[0]) / r
+                if dt < min_dt:
+                    raise RuntimeError(
+                        f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"
+                        " relay did not execute the program")
+                times[name] = dt
             except Exception as e:  # transient backend failure: retry
                 last_err = f"{name}: " + str(e)[:100]
         if "xla" in times and len(times) == len(paths):
@@ -120,13 +168,14 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     return min(times.values()), n, times, last_err
 
 
-def bench_mg_vs_mr(L=256, tries=3):
+def bench_mg_vs_mr(L=128, tries=3):
     """Wilson MG solve to 1e-8 vs unpreconditioned MR (cycle counts).
 
     complex128: the complex64 rounding plateau of the MG residual sits
     right at the 1e-8 target (a tiny-L CPU run stalls at ~2e-7), so the
     convergence race runs in f64 — the cycle-count reduction is the
-    metric, not raw seconds. Fallback ladder for the flaky remote TPU
+    metric, not raw seconds (f64 is software-emulated on TPU, so this
+    phase runs at modest L). Fallback ladder for the flaky remote TPU
     backend (CLAUDE.md): L -> L/2 -> L/4; the cycle-reduction metric is
     meaningful at every rung.
     """
@@ -223,95 +272,172 @@ def phase_stencil(L=256, reps=200):
     return out
 
 
+PHASES = {
+    "stencil": lambda: phase_stencil(L=256, reps=200),
+    "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
+    "stencil_stream_768": lambda: phase_stencil(L=768, reps=30),
+    "mg_vs_mr": lambda: bench_mg_vs_mr(L=128),
+    "geo2048": bench_geo2048,
+}
+
+# the canary must FETCH the value: on the axon relay block_until_ready
+# neither synchronizes nor surfaces errors
 _CANARY = ("import jax, jax.numpy as jnp; "
            "x = jnp.ones((128, 128), jnp.float32); "
-           "jax.block_until_ready(jax.jit(lambda a: (a @ a).sum())(x)); "
-           "print('ok')")
+           "v = float(jax.jit(lambda a: (a @ a).sum())(x)); "
+           "assert v == 128 * 128 * 128, v; print('ok')")
 
 
-def _canary_ok():
+def _canary_ok(timeout_s=180):
     """Tiny-program health probe: in the relay's bad windows even tiny
     jitted programs fail (CLAUDE.md); don't burn a phase attempt then."""
-    import subprocess
     try:
         r = subprocess.run([sys.executable, "-c", _CANARY],
-                           capture_output=True, text=True, timeout=240)
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
 
 
-def _run_phase_subprocess(phase: str, tries: int = 4,
-                          patience_s: float = None):
+_CHILD = None           # current phase subprocess, killed by the watchdog
+_CHILD_LOCK = threading.Lock()
+
+
+def _run_child(cmd, timeout_s):
+    """subprocess.run with the child registered for watchdog cleanup."""
+    global _CHILD
+    with _CHILD_LOCK:
+        _CHILD = p = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True)
+    try:
+        out, err = p.communicate(timeout=timeout_s)
+        return p.returncode, out, err
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.communicate()
+        return 124, "", "timeout"
+    finally:
+        with _CHILD_LOCK:
+            _CHILD = None
+
+
+def _run_phase_subprocess(phase: str, tries: int = 3,
+                          min_leftover_s: float = 60.0):
     """Each phase runs in its own interpreter: the tunneled backend can
     poison a process after one transient failure, and cold compiles of
     large programs may exceed the remote service's time limit — a retry
-    hits a warm server-side cache and completes fast. Between attempts,
-    wait (bounded by patience_s) until a canary probe passes, so a bad
-    window costs waiting rather than the measurement."""
-    import subprocess
-    if patience_s is None:
-        patience_s = float(os.environ.get("BENCH_PATIENCE_S", 1500))
+    hits a warm server-side cache and completes fast. All timeouts are
+    clamped to the remaining global budget."""
     out_file = f"/tmp/bench_phase_{phase}.json"
-    deadline = time.time() + patience_s
     stderr = ""
     attempt = 0
+    t_start = time.time()
     while attempt < tries:
+        timeout_s = min(600.0, _remaining() - min_leftover_s)
+        if timeout_s < 45:
+            break
         attempt += 1
-        r = subprocess.run([sys.executable, __file__, "--phase", phase,
-                            "--out", out_file], capture_output=True,
-                           text=True, timeout=1800)
-        if r.returncode == 0:
+        rc, _, err = _run_child(
+            [sys.executable, __file__, "--phase", phase, "--out", out_file],
+            timeout_s)
+        if rc == 0:
             with open(out_file) as f:
-                return json.load(f)
-        stderr = r.stderr[-500:]
-        while time.time() < deadline:
-            if _canary_ok():
+                r = json.load(f)
+                r["phase_seconds"] = time.time() - t_start
+                return r
+        stderr = err[-500:]
+        # wait out a bad window, bounded by the budget
+        while _remaining() > min_leftover_s + 120:
+            if _canary_ok(timeout_s=min(180, _remaining() - min_leftover_s)):
                 break
-            time.sleep(45)
+            time.sleep(20)
         else:
-            break   # patience exhausted
+            break
     return {"error": f"phase {phase} failed after {attempt} attempts",
-            "stderr": stderr}
+            "stderr": stderr, "phase_seconds": time.time() - t_start}
+
+
+_HEADLINE_PRINTED = threading.Event()
+
+
+def _print_headline(stream):
+    """Print the one-line JSON exactly once (first caller wins)."""
+    if _HEADLINE_PRINTED.is_set():
+        return
+    _HEADLINE_PRINTED.set()
+    if stream and "nnz_per_s" in stream:
+        line = {"metric": "wilson_stencil_spmv_nnz_per_s",
+                "value": float(stream["nnz_per_s"]),
+                "unit": "nnz/s",
+                "vs_baseline": float(stream.get(
+                    "roofline_fraction",
+                    stream.get("effective_bw_fraction", 0.0)))}
+    else:
+        line = {"metric": "wilson_stencil_spmv_nnz_per_s", "value": 0.0,
+                "unit": "nnz/s", "vs_baseline": 0.0}
+    print(json.dumps(line), flush=True)
+
+
+def _watchdog():
+    """Guarantee a headline line + clean exit inside the budget."""
+    while _remaining() > 25:
+        time.sleep(min(10.0, max(1.0, _remaining() - 25)))
+    with _CHILD_LOCK:
+        if _CHILD is not None:
+            try:
+                _CHILD.kill()
+            except Exception:
+                pass
+    _print_headline(None)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def _write_details(details):
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2, default=float)
 
 
 def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         out = sys.argv[sys.argv.index("--out") + 1]
-        result = {"stencil": lambda: phase_stencil(L=256, reps=200),
-                  "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
-                  "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
-                  "geo2048": bench_geo2048}[phase]()
+        result = PHASES[phase]()
         if "error" in result:
             sys.exit(1)
         with open(out, "w") as f:
             json.dump(result, f, default=float)
         return
 
-    details = {}
-    stream = _run_phase_subprocess("stencil_stream")
+    threading.Thread(target=_watchdog, daemon=True).start()
+    details = {"budget_s": BUDGET_S}
+
+    # Headline first; print its line the moment it lands.
+    stream = _run_phase_subprocess("stencil_stream", tries=3)
+    if "error" in stream and _remaining() > 240:
+        # smaller streaming lattice as fallback (still > 64 MiB working set)
+        fb = _run_phase_subprocess("stencil_stream_768", tries=2)
+        details["stencil_stream_768"] = fb
+        if "error" not in fb:
+            stream = fb
     details["stencil_stream_1024"] = stream
-    details["stencil_resident_256"] = _run_phase_subprocess("stencil")
-    details["mg_vs_mr_256"] = _run_phase_subprocess("mg_vs_mr")
-    details["geo2048"] = _run_phase_subprocess("geo2048")
+    _print_headline(stream if "error" not in stream else None)
+    _write_details(details)
+
+    # Detail phases: opportunistic, budget-gated.
+    for key, phase in [("stencil_resident_256", "stencil"),
+                       ("mg_vs_mr", "mg_vs_mr"),
+                       ("geo2048", "geo2048")]:
+        if _remaining() < 200:
+            details[key] = {"skipped": "budget exhausted"}
+            _write_details(details)
+            continue
+        details[key] = _run_phase_subprocess(phase, tries=2)
+        _write_details(details)
     if _REF_GEN1_CPU:
         details["geo2048"]["reference_cpu"] = _REF_GEN1_CPU
-
-    with open("bench_details.json", "w") as f:
-        json.dump(details, f, indent=2, default=float)
-
-    if "error" in stream:
-        print(json.dumps({"metric": "wilson_stencil_spmv_nnz_per_s",
-                          "value": 0.0, "unit": "nnz/s",
-                          "vs_baseline": 0.0}))
-        return
-    print(json.dumps({
-        "metric": "wilson_stencil_spmv_nnz_per_s",
-        "value": float(stream["nnz_per_s"]),
-        "unit": "nnz/s",
-        "vs_baseline": float(stream["roofline_fraction"]),
-    }))
+        _write_details(details)
 
 
 if __name__ == "__main__":

@@ -23,8 +23,12 @@ cfg = mg.MGConfig(L=L, stencil="wilson", m=0.1, nlevels=1, dtype="complex64")
 D = mg.models.operators.assemble("wilson", mg.models.gauge.identity_gauge(L, cfg.cdtype), cfg.m)
 v = jnp.ones((2,L,L), cfg.cdtype)
 Dinv = stencil.site_inverse(D[0])
-jax.block_until_ready(jax.jit(lambda D,v: smooth(D, Dinv, v, v*0, 8, "rbgs"))(D, v))
-print("healthy")
+# must FETCH a value: on the axon relay block_until_ready neither
+# synchronizes nor surfaces errors (they appear at first fetch)
+out = jax.jit(lambda D,v: smooth(D, Dinv, v, v*0, 8, "rbgs"))(D, v)
+val = float(jnp.abs(out).sum())
+assert val == val and val > 0, val
+print("healthy", val)
 '''
 
 ENTRY = r'''

@@ -73,14 +73,29 @@ def test_apply_d_pallas_tiled(interpret_pallas, st, TX):
 @pytest.mark.parametrize("kind", ["jacobi", "rbgs"])
 def test_smooth_pallas_tiled(interpret_pallas, st, kind):
     """x-tiled smoother (grid over row-tiles, wrapped phi halos) matches
-    the XLA smoother across tile boundaries and sweeps."""
+    the XLA smoother across tile boundaries and sweeps. TX=8 forces a
+    4-tile grid at L=32 so the inter-tile halo splice and the global
+    red-black parity offset (program_id*TX) are exercised in CI."""
     cfg, D, v = _setup(st, L=32)
     Dinv = stencil.site_inverse(D[0])
     r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
-    phi_t = ps.smooth_pallas_tiled(D, Dinv, v, r, 2, kind)
+    phi_t = ps.smooth_pallas_tiled(D, Dinv, v, r, 2, kind, TX=8)
     phi_x = smooth(D, Dinv, v, r, 2, kind)
     rel = float(jnp.max(jnp.abs(phi_t - phi_x)) / jnp.max(jnp.abs(phi_x)))
     assert rel < 1e-5
+
+
+def test_tile_pickers_aligned():
+    """Tile pickers only return multiples of 8 that divide L; sizes with
+    no such divisor (or not 8-aligned) return 0 -> XLA fallback."""
+    for n, L in [(2, 96), (4, 96), (2, 1024), (4, 192), (1, 2048)]:
+        for pick in (ps._pick_tile, ps._pick_smoother_tile):
+            tx = pick(n, L)
+            if tx:
+                assert tx % 8 == 0 and L % tx == 0, (n, L, tx)
+    assert ps._pick_tile(2, 100) == 0          # 100 has no mult-of-8 divisor
+    assert ps._pick_smoother_tile(2, 12) == 0
+    assert ps.smoother_mode(jnp.complex128, 2, 256) is None
 
 
 @pytest.mark.parametrize("st", ["laplace", "wilson"])

@@ -269,16 +269,23 @@ def _tiled_apply_kernel(n, TX, dr_ref, di_ref, vr_ref, vi_ref,
     oi_ref[:] = jnp.stack(acc_i)
 
 
+def _tile_candidates(L: int, start: int):
+    """Row-tile sizes, descending: multiples of 8 (the f32 sublane tile —
+    the wrapped-halo BlockSpecs index 8-row blocks, so TX % 8 == 0 is a
+    correctness requirement, not a preference) that divide L exactly."""
+    top = (min(start, L) // 8) * 8
+    return [t for t in range(top, 7, -8) if L % t == 0]
+
+
 def _pick_tile(n: int, L: int) -> int:
-    """Largest power-of-two row-tile whose operand footprint fits VMEM."""
-    tx = L
-    while tx > 8:
+    """Largest valid row-tile whose operand footprint fits VMEM; 0 if no
+    multiple-of-8 divisor of L fits (caller falls back to XLA)."""
+    for tx in _tile_candidates(L, L):
         bytes_needed = 4 * (2 * 5 * n * n * tx + 4 * n * (tx + 2)
                             + 2 * n * tx) * L
         if bytes_needed <= int(0.5 * VMEM_BYTES):
             return tx
-        tx //= 2
-    return tx
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=("TX",))
@@ -292,6 +299,10 @@ def apply_D_pallas_tiled(D: jnp.ndarray, v: jnp.ndarray,
     """
     n, L = v.shape[0], v.shape[-1]
     TX = TX or _pick_tile(n, L)
+    if not TX or TX % 8 or L % TX:
+        raise ValueError(
+            f"no valid x-tile for L={L} (need TX % 8 == 0 and L % TX == 0); "
+            "use the XLA path")
     grid = (L // TX,)
     dr, di = _split(D)
     vr, vi = _split(v)
@@ -420,24 +431,28 @@ def _tiled_update_call(dhr, dhi, ir, ii, rr, ri, pr, pi, color, TX):
 
 
 def _pick_smoother_tile(n: int, L: int) -> int:
-    tx = min(L, 256)
-    while tx > 8:
+    """Largest valid row-tile for the tiled smoother; 0 if no multiple-of-8
+    divisor of L fits VMEM (caller falls back to XLA)."""
+    for tx in _tile_candidates(L, 256):
         bytes_needed = 4 * ((2 * 4 + 2) * n * n + 8 * n + 4) * tx * L
         if bytes_needed <= int(0.5 * VMEM_BYTES):
             return tx
-        tx //= 2
-    return tx
+    return 0
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "kind"))
+@functools.partial(jax.jit, static_argnames=("n_sweeps", "kind", "TX"))
 def smooth_pallas_tiled(D, D0inv, phi, r, n_sweeps: int = 1,
-                        kind: str = "jacobi"):
+                        kind: str = "jacobi", TX: int | None = None):
     """n_sweeps fused x-tiled smoother sweeps for lattices too large for
     the whole-in-VMEM kernels. kind: 'jacobi' (one masked-free pass per
     sweep) or 'rbgs' (red half-pass then black half-pass per sweep;
     matches ops.smoothers rbgs_sweep with omega=1)."""
     n, L = phi.shape[0], phi.shape[-1]
-    TX = _pick_smoother_tile(n, L)
+    TX = TX or _pick_smoother_tile(n, L)
+    if not TX or TX % 8 or L % TX:
+        raise ValueError(
+            f"no valid x-tile for L={L} (need TX % 8 == 0 and L % TX == 0); "
+            "use the XLA path")
     dhr, dhi = _split(D[1:])
     ir, ii = _split(D0inv)
     rr, ri = _split(r)
@@ -478,6 +493,6 @@ def smoother_mode(dtype, n: int, L: int):
         return None
     if fits_vmem(n, L):
         return "vmem"
-    if L % _pick_smoother_tile(n, L) == 0:
+    if _pick_smoother_tile(n, L):   # valid tile: TX % 8 == 0 and L % TX == 0
         return "tiled"
     return None

@@ -276,8 +276,8 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
             if combine == "avg_coarse":
                 # gen-2 single-interpolation variant (see solver.cycles).
                 phi_avg = jnp.mean(phi_q, axis=0)
-                corr = prolong_step(hier.ntl.phi_null[0], phi_avg,
-                                    cfg.quad, l)
+                corr = prolong_step(hier.ntl.phi_null[cfg.quad - 1],
+                                    phi_avg, cfg.quad, l)
             else:
                 xs = [prolong_step(hier.ntl.phi_null[q], phi_q[q], q + 1, l)
                       for q in range(nq)]

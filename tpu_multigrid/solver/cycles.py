@@ -181,7 +181,9 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
         # (telescoping_2d_laplace_Mgrid_singleinterpolation.cpp:306-315).
         a = jnp.full((nq,), 1.0 / nq, dtype=phi_q.dtype)
         phi_avg = jnp.mean(phi_q, axis=0)
-        corr = prolong(ntl.phi_null[0], phi_avg, cfg.quad, bx, by)
+        # null basis must match the blocking quadrant: phi_null[q] is
+        # orthonormalized in the quad=q+1 frame (hierarchy._build_ntl_jit)
+        corr = prolong(ntl.phi_null[cfg.quad - 1], phi_avg, cfg.quad, bx, by)
         phis[l] = phis[l] + corr
     else:
         # Prolongate each copy to the next-to-coarsest level.

@@ -32,7 +32,11 @@ class SolveResult:
     iters: int
     resmag: float
     converged: bool
-    history: Optional[np.ndarray] = None          # residual per iteration
+    # residual per recorded step; one entry per `history_stride` cycles
+    # (stride 1 except solve_ir, which records once per OUTER step of
+    # `inner_cycles` cycles: len(history) * history_stride == iters)
+    history: Optional[np.ndarray] = None
+    history_stride: int = 1
     ntl_weights: Optional[np.ndarray] = None      # [iters, n_copies]
     level_residuals: Optional[list] = None
 
@@ -166,7 +170,8 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     return SolveResult(phi=np.asarray(phi), iters=outer * inner_cycles,
                        resmag=resmag,
                        converged=resmag < cfg.res_threshold,
-                       history=np.asarray(history))
+                       history=np.asarray(history),
+                       history_stride=inner_cycles)
 
 
 def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
