@@ -29,7 +29,6 @@ programs (see .claude/skills/verify/SKILL.md); every measurement runs in
 a fresh subprocess (one failure can poison a process) with retries gated
 on a tiny-program canary probe.
 """
-import functools
 import json
 import os
 import subprocess
@@ -118,6 +117,8 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     bytes_per_apply = (5 * n * n + 2 * n) * L * L * 8
     min_dt = bytes_per_apply / (1.5 * peak)   # faster than this = bogus
 
+    from tpu_multigrid.profiling import time_op
+
     last_err = None
     times = {}
     for attempt in range(tries):
@@ -128,28 +129,8 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
             # failing to lower on the relay must not forfeit the XLA
             # measurement (the headline is min over surviving paths)
             try:
-                def loop(D, v, r, f=f):
-                    def body(i, v):
-                        return f(D, v)
-                    v = jax.lax.fori_loop(0, r, body, v)
-                    # f32 scalar fetched to force real execution
-                    return (jnp.real(v) ** 2 + jnp.imag(v) ** 2).sum()
-
-                r = reps + attempt  # perturb program content on retry
-                fns = [jax.jit(functools.partial(loop, r=k))
-                       for k in (r, 2 * r)]
-                vals, timed = [], []
-                for fn in fns:
-                    vals.append(float(fn(D, v)))       # warmup & compile
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.perf_counter()
-                        float(fn(D, v))                # fetch = sync
-                        best = min(best, time.perf_counter() - t0)
-                    timed.append(best)
-                if not all(np.isfinite(x) for x in vals):
-                    raise RuntimeError(f"non-finite loop output {vals}")
-                dt = (timed[1] - timed[0]) / r
+                # perturb program content on retry (fresh compile)
+                dt = time_op(f, D, v, reps=reps + attempt)
                 if dt < min_dt:
                     raise RuntimeError(
                         f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"

@@ -22,7 +22,7 @@ x = jnp.ones((256, 256), jnp.float32)
 y = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
     in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
     out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)
-jax.block_until_ready(y)
+assert float(y.sum()) == 2.0 * 256 * 256   # fetch: the only real sync
 print("probe ok", flush=True)
 
 L, st = 256, "wilson"
@@ -36,16 +36,10 @@ out_x = stencil.apply_D(D, v)
 err = float(jnp.max(jnp.abs(out_p-out_x))/jnp.max(jnp.abs(out_x)))
 Dinv = stencil.site_inverse(D[0]); r = mg.point_source(cfg)
 
+# fetch-based timing (relay block_until_ready is a no-op; see profiling)
+from tpu_multigrid.profiling import time_op
 def timeit(f, reps=200):
-    def many(D, v):
-        def body(i, v): return f(D, v)
-        return jax.lax.fori_loop(0, reps, body, v)
-    g = jax.jit(many); jax.block_until_ready(g(D, v))
-    best = 1e9
-    for _ in range(3):
-        t0=time.perf_counter(); jax.block_until_ready(g(D, v))
-        best = min(best, (time.perf_counter()-t0)/reps)
-    return best
+    return time_op(f, D, v, reps=reps)
 
 res = {"rel_err": err}
 res["pallas_apply_us"] = timeit(lambda D,v: ps.apply_D_pallas(D,v)) * 1e6

@@ -43,23 +43,37 @@ def stencil_nnz(n: int, L: int) -> int:
 def time_op(fn: Callable, *args, reps: int = 100, warmup: bool = True,
             passes: int = 3) -> float:
     """Best-of-passes seconds per call for a jittable fn, measured as a
-    reps-long fori_loop to amortize dispatch."""
+    reps-long fori_loop to amortize dispatch.
+
+    Timing discipline for the axon remote-compile relay: there
+    `block_until_ready` neither synchronizes nor surfaces errors (both
+    happen at first value FETCH), so each measurement fetches an f32
+    scalar computed inside the jitted program, and the per-call time is
+    the difference between a 2*reps and a reps loop — cancelling the
+    (large, variable) dispatch + fetch round-trip latency."""
     import jax.numpy as jnp
 
-    def many(*a):
-        def body(i, x):
-            return fn(*a[:-1], x)
-        return jax.lax.fori_loop(0, reps, body, a[-1])
+    def make(r):
+        def many(*a):
+            def body(i, x):
+                return fn(*a[:-1], x)
+            x = jax.lax.fori_loop(0, r, body, a[-1])
+            return (jnp.real(x) ** 2 + jnp.imag(x) ** 2).sum().astype(
+                jnp.float32)
+        return jax.jit(many)
 
-    g = jax.jit(many)
-    if warmup:
-        jax.block_until_ready(g(*args))
-    best = float("inf")
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        jax.block_until_ready(g(*args))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+    best = []
+    for g in (make(reps), make(2 * reps)):
+        float(g(*args))   # compile + force execution (the value may
+        # legitimately overflow — e.g. many smoother sweeps of an
+        # indefinite operator — so only the fetch itself is checked)
+        b = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            float(g(*args))                      # fetch = the only real sync
+            b = min(b, time.perf_counter() - t0)
+        best.append(b)
+    return max((best[1] - best[0]) / reps, 1e-12)
 
 
 @dataclass
