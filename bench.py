@@ -15,14 +15,22 @@ in, but its >1 "fraction" is an effective-bandwidth figure, not a roofline
 fraction. MG-vs-MR cycle counts are also in bench_details.json.
 
 Time discipline (round-1 lesson: the driver killed the bench before any
-output): the whole run fits a hard wall-clock budget (BENCH_BUDGET_S,
-default 1200 s).
-- The HEADLINE phase runs first and its JSON line is printed (flushed)
-  the moment it finishes — detail phases only enrich bench_details.json
-  and are skipped when the remaining budget is short.
-- A watchdog thread prints a fallback headline line and exits the process
-  shortly before the budget expires, so the driver always captures a line
-  even if a phase wedges.
+output; the driver parses the stdout TAIL regardless of exit code, so
+what matters is flushing the line EARLY):
+- The HEADLINE phase runs first; its child process writes a partial
+  result file after EVERY successful path measurement (XLA first), and
+  the parent prints the headline the moment the phase completes — or,
+  at the print deadline (BENCH_PRINT_DEADLINE_S, default 420 s), prints
+  the best partial measurement so far rather than waiting for slower
+  alternative paths.
+- The whole run fits a hard wall-clock budget (BENCH_BUDGET_S, default
+  900 s); a watchdog thread prints the best-known headline (fallback
+  0.0 only if literally nothing was measured) and exits the process
+  shortly before the budget expires, so the driver always captures a
+  line even if a phase wedges (in deep relay-down windows even
+  `import jax` hangs — see CLAUDE.md).
+- Detail phases only enrich bench_details.json and are skipped when the
+  remaining budget is short.
 
 Robustness: the tunneled TPU backend can fail transiently on large
 programs (see .claude/skills/verify/SKILL.md); every measurement runs in
@@ -51,6 +59,10 @@ HBM_PEAK = {
 }
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 900))
+# Print the headline from partial data no later than this (the full
+# phase may still be chasing slower alternative paths / retries).
+PRINT_DEADLINE_S = float(os.environ.get(
+    "BENCH_PRINT_DEADLINE_S", min(420.0, 0.6 * BUDGET_S)))
 _T0 = time.time()
 
 
@@ -74,8 +86,21 @@ def device_peak_bw():
     return 819e9, kind
 
 
+_PARTIAL_PATH = None    # set in phase children: incremental results land
+                        # here after every successful path measurement
+
+
+def _write_partial(result: dict):
+    if not _PARTIAL_PATH:
+        return
+    tmp = _PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, default=float)
+    os.replace(tmp, _PARTIAL_PATH)   # atomic: parent may read any time
+
+
 def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
-                  tries=2):
+                  tries=2, on_partial=None):
     """Time reps x apply_D (XLA path, and the fused Pallas kernels where
     applicable — whole-in-VMEM at small L, x-tiled at large L) in one
     jitted fori_loop; return (best_seconds/apply, n, {path: seconds}, err).
@@ -136,6 +161,8 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                         f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"
                         " relay did not execute the program")
                 times[name] = dt
+                if on_partial:
+                    on_partial(dict(times))
             except Exception as e:  # transient backend failure: retry
                 last_err = f"{name}: " + str(e)[:100]
         if "xla" in times and len(times) == len(paths):
@@ -228,9 +255,8 @@ def bench_geo2048(tries=2):
     return {"error": err}
 
 
-def phase_stencil(L=256, reps=200):
-    peak, kind = device_peak_bw()
-    dt, n, times, warn = bench_stencil(L=L, reps=reps)
+def _stencil_result(L, n, peak, kind, times, warn=None):
+    dt = min(times.values())
     csize = 8  # complex64 bytes
     bytes_per_apply = (5 * n * n + 2 * n) * L * L * csize
     nnz = 5 * n * n * L * L
@@ -251,6 +277,16 @@ def phase_stencil(L=256, reps=200):
         # bandwidth exceeds nominal HBM BW; not a roofline fraction.
         out["effective_bw_fraction"] = frac
     return out
+
+
+def phase_stencil(L=256, reps=200):
+    peak, kind = device_peak_bw()
+    n_guess = 2  # wilson
+    dt, n, times, warn = bench_stencil(
+        L=L, reps=reps,
+        on_partial=lambda t: _write_partial(
+            _stencil_result(L, n_guess, peak, kind, t, "partial")))
+    return _stencil_result(L, n, peak, kind, times, warn)
 
 
 PHASES = {
@@ -303,13 +339,24 @@ def _run_child(cmd, timeout_s):
             _CHILD = None
 
 
+def _read_partial(phase: str):
+    """Best incremental result a phase child has written so far (or None)."""
+    try:
+        with open(f"/tmp/bench_phase_{phase}.json.partial") as f:
+            r = json.load(f)
+        return r if "nnz_per_s" in r else None
+    except Exception:
+        return None
+
+
 def _run_phase_subprocess(phase: str, tries: int = 3,
                           min_leftover_s: float = 60.0):
     """Each phase runs in its own interpreter: the tunneled backend can
     poison a process after one transient failure, and cold compiles of
     large programs may exceed the remote service's time limit — a retry
     hits a warm server-side cache and completes fast. All timeouts are
-    clamped to the remaining global budget."""
+    clamped to the remaining global budget. A child that dies after
+    measuring SOME paths still counts: its partial result is salvaged."""
     out_file = f"/tmp/bench_phase_{phase}.json"
     stderr = ""
     attempt = 0
@@ -328,6 +375,11 @@ def _run_phase_subprocess(phase: str, tries: int = 3,
                 r["phase_seconds"] = time.time() - t_start
                 return r
         stderr = err[-500:]
+        partial = _read_partial(phase)
+        if partial is not None:
+            partial["phase_seconds"] = time.time() - t_start
+            partial["note"] = f"partial (child rc={rc} after some paths)"
+            return partial
         # wait out a bad window, bounded by the budget
         while _remaining() > min_leftover_s + 120:
             if _canary_ok(timeout_s=min(180, _remaining() - min_leftover_s)):
@@ -360,17 +412,35 @@ def _print_headline(stream):
     print(json.dumps(line), flush=True)
 
 
+_HEADLINE_PHASES = ("stencil_stream", "stencil_stream_768")
+
+
+def _best_partial():
+    cands = [p for p in map(_read_partial, _HEADLINE_PHASES) if p]
+    if not cands:
+        return None
+    return max(cands, key=lambda r: r.get("roofline_fraction", 0.0))
+
+
 def _watchdog():
-    """Guarantee a headline line + clean exit inside the budget."""
+    """Two jobs: (1) at the print deadline, publish the headline from the
+    best partial measurement so far instead of waiting on slower paths;
+    (2) near the budget, kill any wedged child, print the best-known
+    headline, and exit cleanly so the driver always captures a line."""
     while _remaining() > 25:
-        time.sleep(min(10.0, max(1.0, _remaining() - 25)))
+        if (not _HEADLINE_PRINTED.is_set()
+                and time.time() - _T0 >= PRINT_DEADLINE_S):
+            best = _best_partial()
+            if best is not None:
+                _print_headline(best)
+        time.sleep(min(5.0, max(1.0, _remaining() - 25)))
     with _CHILD_LOCK:
         if _CHILD is not None:
             try:
                 _CHILD.kill()
             except Exception:
                 pass
-    _print_headline(None)
+    _print_headline(_best_partial())
     sys.stdout.flush()
     os._exit(0)
 
@@ -382,8 +452,10 @@ def _write_details(details):
 
 def main():
     if "--phase" in sys.argv:
+        global _PARTIAL_PATH
         phase = sys.argv[sys.argv.index("--phase") + 1]
         out = sys.argv[sys.argv.index("--out") + 1]
+        _PARTIAL_PATH = out + ".partial"
         result = PHASES[phase]()
         if "error" in result:
             sys.exit(1)
@@ -391,8 +463,13 @@ def main():
             json.dump(result, f, default=float)
         return
 
+    for ph in _HEADLINE_PHASES:   # stale partials from previous runs
+        try:
+            os.remove(f"/tmp/bench_phase_{ph}.json.partial")
+        except OSError:
+            pass
     threading.Thread(target=_watchdog, daemon=True).start()
-    details = {"budget_s": BUDGET_S}
+    details = {"budget_s": BUDGET_S, "print_deadline_s": PRINT_DEADLINE_S}
 
     # Headline first; print its line the moment it lands.
     stream = _run_phase_subprocess("stencil_stream", tries=3)
@@ -403,7 +480,10 @@ def main():
         if "error" not in fb:
             stream = fb
     details["stencil_stream_1024"] = stream
-    _print_headline(stream if "error" not in stream else None)
+    if "error" not in stream:
+        _print_headline(stream)
+    # else: leave the print to the watchdog (best partial, at the deadline
+    # or the budget edge) — don't lock in a 0.0 while time remains
     _write_details(details)
 
     # Detail phases: opportunistic, budget-gated.
@@ -419,6 +499,9 @@ def main():
     if _REF_GEN1_CPU:
         details["geo2048"]["reference_cpu"] = _REF_GEN1_CPU
         _write_details(details)
+    # all phases done early (e.g. every attempt failed fast): never exit
+    # without the one line
+    _print_headline(_best_partial())
 
 
 if __name__ == "__main__":
