@@ -94,3 +94,22 @@ def test_cli_checkpoint_roundtrip(tmp_path):
                    "--max-iters", "100", "--out-dir", str(tmp_path / "b"),
                    "--checkpoint", ckpt, "--skip-tests"])
     assert rc == 0
+
+
+def test_scan_orchestrator(tmp_path):
+    """Parameter-scan analog of 0_submit_2d_laplace.ipynb: cartesian grid,
+    per-point scaling lines + jsonl summary, failures non-fatal."""
+    import json
+    from tpu_multigrid import scan
+    rc = scan.main(["--L", "16", "--m", "0.05,0.2", "--nlevels", "2",
+                    "--num-iters", "8", "--stencil", "laplace",
+                    "--null-iters", "60", "--res-threshold", "1e-9",
+                    "--max-iters", "300", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    rows = [json.loads(x) for x in
+            (tmp_path / "scan_summary.jsonl").read_text().splitlines()]
+    assert len(rows) == 2 and all(r["converged"] for r in rows)
+    # heavier mass converges in fewer cycles (scaling-notebook invariant)
+    assert rows[1]["iters"] <= rows[0]["iters"]
+    lines = (tmp_path / "results_gen_scaling.txt").read_text().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("16\t8\t0.05")
