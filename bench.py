@@ -144,7 +144,7 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
 
     from tpu_multigrid.profiling import time_op
 
-    last_err = None
+    errs = {}
     times = {}
     for attempt in range(tries):
         for name, f in paths.items():
@@ -161,10 +161,11 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                         f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"
                         " relay did not execute the program")
                 times[name] = dt
+                errs.pop(name, None)
                 if on_partial:
                     on_partial(dict(times))
             except Exception as e:  # transient backend failure: retry
-                last_err = f"{name}: " + str(e)[:100]
+                errs[name] = f"try{attempt}: " + str(e)[:120]
         if "xla" in times and len(times) == len(paths):
             break
         if "xla" in times and attempt >= 1:
@@ -172,8 +173,8 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
         time.sleep(3)
     if not times:
         raise RuntimeError(
-            f"stencil bench failed after {tries} tries: {last_err}")
-    return min(times.values()), n, times, last_err
+            f"stencil bench failed after {tries} tries: {errs}")
+    return min(times.values()), n, times, errs or None
 
 
 def bench_mg_vs_mr(L=128, tries=3):
@@ -292,7 +293,8 @@ def phase_stencil(L=256, reps=200):
 PHASES = {
     "stencil": lambda: phase_stencil(L=256, reps=200),
     "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
-    "stencil_stream_768": lambda: phase_stencil(L=768, reps=30),
+    "stencil_stream_768": lambda: phase_stencil(L=768, reps=40),
+    "stencil_stream_512": lambda: phase_stencil(L=512, reps=60),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=128),
     "geo2048": bench_geo2048,
 }
@@ -412,14 +414,19 @@ def _print_headline(stream):
     print(json.dumps(line), flush=True)
 
 
-_HEADLINE_PHASES = ("stencil_stream", "stencil_stream_768")
+_HEADLINE_PHASES = ("stencil_stream", "stencil_stream_768",
+                    "stencil_stream_512")
 
 
 def _best_partial():
+    """Best incremental headline candidate: honest streaming measurements
+    beat VMEM-resident ones; then by achieved fraction."""
     cands = [p for p in map(_read_partial, _HEADLINE_PHASES) if p]
     if not cands:
         return None
-    return max(cands, key=lambda r: r.get("roofline_fraction", 0.0))
+    return max(cands, key=lambda r: (
+        1 if "roofline_fraction" in r else 0,
+        r.get("roofline_fraction", r.get("effective_bw_fraction", 0.0))))
 
 
 def _watchdog():
@@ -471,16 +478,23 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     details = {"budget_s": BUDGET_S, "print_deadline_s": PRINT_DEADLINE_S}
 
-    # Headline first; print its line the moment it lands.
-    stream = _run_phase_subprocess("stencil_stream", tries=3)
-    if "error" in stream and _remaining() > 240:
-        # smaller streaming lattice as fallback (still > 64 MiB working set)
-        fb = _run_phase_subprocess("stencil_stream_768", tries=2)
-        details["stencil_stream_768"] = fb
-        if "error" not in fb:
-            stream = fb
-    details["stencil_stream_1024"] = stream
-    if "error" not in stream:
+    # Headline first; print its line the moment a rung lands. Each rung
+    # runs in a fresh child (one relay failure can poison a process);
+    # smaller lattices are more likely to survive a shaky relay, and the
+    # 768/512 rungs are still honest measurements (768 streams; 512 is
+    # labeled vmem_resident).
+    stream = None
+    for rung, tries in [("stencil_stream", 2), ("stencil_stream_768", 2),
+                        ("stencil_stream_512", 2)]:
+        r = _run_phase_subprocess(rung, tries=tries)
+        details[rung] = r
+        _write_details(details)
+        if "error" not in r:
+            stream = r
+            break
+        if _remaining() < 180:
+            break
+    if stream is not None:
         _print_headline(stream)
     # else: leave the print to the watchdog (best partial, at the deadline
     # or the budget edge) — don't lock in a 0.0 while time remains

@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the reference's NaN-guard "
                         "analog, SURVEY §5.2)")
+    p.add_argument("--resume", type=str, default=None, metavar="STATE.npz",
+                   help="checkpoint the solver state here every "
+                        "--checkpoint-every cycles and resume from it if "
+                        "present (utils.checkpoint.solve_resumable)")
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--mesh", type=str, default=None, metavar="MX,MY",
+                   help="run the distributed solve on an MX x MY device "
+                        "mesh (shard_map + ppermute halos; requires "
+                        "MX*MY <= len(jax.devices()))")
     return p
 
 
@@ -179,7 +188,22 @@ def main(argv=None):
     b = mg.point_source(cfg)
     writer = mio.ResultsWriter(cfg, ns.out_dir)
     t0 = time.time()
-    if getattr(ns, "solver", "stationary") == "fgmres":
+    if getattr(ns, "mesh", None):
+        from .parallel import sharded
+        mx, my = (int(x) for x in ns.mesh.split(","))
+        mesh = sharded.make_mesh((mx, my))
+        hier_s = sharded.shard_hierarchy(hier, cfg, mesh)
+        solver = sharded.make_sharded_solver(cfg, mesh, cfg.max_iters)(hier_s)
+        phis, iters, res = solver(hier_s, mg.zero_fields(cfg), b)
+        from .solver.driver import SolveResult
+        out = SolveResult(phi=np.asarray(phis[0]), iters=int(iters),
+                          resmag=float(res),
+                          converged=float(res) < cfg.res_threshold)
+    elif getattr(ns, "resume", None):
+        from .utils.checkpoint import solve_resumable
+        out = solve_resumable(hier, b, cfg, ns.resume,
+                              checkpoint_every=ns.checkpoint_every)
+    elif getattr(ns, "solver", "stationary") == "fgmres":
         from .solver.krylov import fgmres_solve
         phi, iters, rel = fgmres_solve(hier, b, cfg)
         from .solver.driver import SolveResult

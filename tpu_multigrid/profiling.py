@@ -50,8 +50,14 @@ def time_op(fn: Callable, *args, reps: int = 100, warmup: bool = True,
     happen at first value FETCH), so each measurement fetches an f32
     scalar computed inside the jitted program, and the per-call time is
     the difference between a 2*reps and a reps loop — cancelling the
-    (large, variable) dispatch + fetch round-trip latency."""
+    (large, variable) dispatch + fetch round-trip latency.
+
+    Programs are compiled via the AOT lower().compile() path (with the
+    raised scoped-VMEM limit): on the relay the plain jit dispatch path
+    intermittently fails with UNIMPLEMENTED executable-serialization
+    errors that the AOT path avoids (utils/compile.aot_call)."""
     import jax.numpy as jnp
+    from .utils.compile import _tpu_compiler_options
 
     def make(r):
         def many(*a):
@@ -60,7 +66,7 @@ def time_op(fn: Callable, *args, reps: int = 100, warmup: bool = True,
             x = jax.lax.fori_loop(0, r, body, a[-1])
             return (jnp.real(x) ** 2 + jnp.imag(x) ** 2).sum().astype(
                 jnp.float32)
-        return jax.jit(many)
+        return jax.jit(many).lower(*args).compile(_tpu_compiler_options())
 
     best = []
     for g in (make(reps), make(2 * reps)):

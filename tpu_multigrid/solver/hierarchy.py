@@ -69,15 +69,16 @@ def _check_block_norms_host(phi_null, quad, bx, by, where: str):
                 f"Tiny block norm ({n.min():.3e}) in {where}, row {d}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "lvl", "quad", "generate"))
-def _setup_level_jit(D, start_or_null, cfg: MGConfig, lvl: int, quad: int,
-                     generate: bool):
-    """One fused, jitted program: near-null generation (optional) +
+def _setup_level_core(D, start_or_null, cfg: MGConfig, lvl: int, quad: int,
+                      generate: bool):
+    """One fused XLA program: near-null generation (optional) +
     block-normalize + double Gram-Schmidt + Galerkin coarse operator.
 
     Keeping the whole per-level setup in a single XLA program matters on
     TPU: the eager version dispatches hundreds of small ops (each a host
     round-trip), the jitted version is one executable per level.
+    Compiled via utils.compile.aot_call (relay-safe AOT path), like the
+    solver drivers.
     """
     nc = cfg.n_dof[lvl + 1]
     bx, by = cfg.block_x, cfg.block_y
@@ -98,6 +99,14 @@ def _setup_level_jit(D, start_or_null, cfg: MGConfig, lvl: int, quad: int,
     return D0inv, phi_null, Dc, worst
 
 
+# Jitted aliases for callers that embed the setup program inside a larger
+# traced context (vmapped ensemble setup, sharded per-device setup) —
+# there the relay-safe AOT wrapper is applied by the OUTER program.
+_setup_level_jit = partial(jax.jit,
+                           static_argnames=("cfg", "lvl", "quad",
+                                            "generate"))(_setup_level_core)
+
+
 def _setup_level(D, cfg: MGConfig, lvl: int, quad: int, key,
                  phi_null_init=None, check: bool = True):
     """Build phi_null and the coarse operator for one level."""
@@ -113,8 +122,11 @@ def _setup_level(D, cfg: MGConfig, lvl: int, quad: int, key,
         arg = phi_null_init
         generate = False
 
-    D0inv, phi_null, Dc, worst = _setup_level_jit(D, arg, cfg, lvl, quad,
-                                                  generate)
+    from ..utils.compile import aot_call
+    D0inv, phi_null, Dc, worst = aot_call(
+        lambda d, a: _setup_level_core(d, a, cfg, lvl, quad, generate),
+        D, arg, key=("setup_level", cfg, lvl, quad, generate,
+                     D.shape, str(D.dtype), arg.shape))
     if check:
         _check_block_norms_host(phi_null, quad, bx, by, f"level {lvl} norm")
         worst = float(worst)
@@ -151,8 +163,7 @@ def build_hierarchy(D0: jnp.ndarray, cfg: MGConfig, key=None,
     return Hierarchy(levels=tuple(levels), ntl=ntl)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _build_ntl_jit(phi_null0, D, cfg: MGConfig):
+def _build_ntl_core(phi_null0, D, cfg: MGConfig):
     bx, by = cfg.block_x, cfg.block_y
     pns, Ds, Dinvs, worsts = [], [], [], []
     for q in range(cfg.n_copies):
@@ -170,12 +181,19 @@ def _build_ntl_jit(phi_null0, D, cfg: MGConfig):
     return ntl, jnp.stack(worsts)
 
 
+_build_ntl_jit = partial(jax.jit, static_argnames=("cfg",))(_build_ntl_core)
+
+
 def build_ntl(levels, cfg: MGConfig, check: bool = True) -> NTLOps:
     """Per-quadrant re-setup of the coarsest transfer + operator
     (reference modules_main.h:208-221)."""
     lvl = cfg.nlevels - 1
     base = levels[lvl]
-    ntl, worsts = _build_ntl_jit(base.phi_null, base.D, cfg)
+    from ..utils.compile import aot_call
+    ntl, worsts = aot_call(
+        lambda pn, d: _build_ntl_core(pn, d, cfg),
+        base.phi_null, base.D,
+        key=("build_ntl", cfg, base.phi_null.shape, str(base.D.dtype)))
     if check:
         import numpy as _np
         w = _np.asarray(worsts)
