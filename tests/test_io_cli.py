@@ -113,3 +113,33 @@ def test_scan_orchestrator(tmp_path):
     assert rows[1]["iters"] <= rows[0]["iters"]
     lines = (tmp_path / "results_gen_scaling.txt").read_text().splitlines()
     assert len(lines) == 2 and lines[0].startswith("16\t8\t0.05")
+
+
+def test_cli_mesh_solve(tmp_path):
+    """--mesh runs the full distributed shard_map solver (8 CPU devices)."""
+    from tpu_multigrid import cli
+    rc = cli.main(["--L", "16", "--stencil", "laplace", "--m", "0.1",
+                   "--nlevels", "2", "--num-iters", "8",
+                   "--null-iters", "60", "--res-threshold", "1e-8",
+                   "--max-iters", "200", "--gauge", "random",
+                   "--mesh", "2,2", "--skip-tests",
+                   "--out-dir", str(tmp_path)])
+    assert rc == 0
+
+
+def test_cli_resume_solve(tmp_path):
+    """--resume checkpoints solver state and resumes from it."""
+    import json
+    from tpu_multigrid import cli
+    state = str(tmp_path / "state.npz")
+    args = ["--L", "16", "--stencil", "laplace", "--m", "0.1",
+            "--nlevels", "2", "--num-iters", "8", "--null-iters", "60",
+            "--res-threshold", "1e-10", "--max-iters", "40",
+            "--checkpoint-every", "10", "--resume", state,
+            "--skip-tests", "--out-dir", str(tmp_path)]
+    rc = cli.main(args)
+    assert (tmp_path / "state.npz").exists()
+    s1 = json.loads((tmp_path / "solve_summary.json").read_text())
+    rc2 = cli.main(args)   # resumes from the saved state
+    s2 = json.loads((tmp_path / "solve_summary.json").read_text())
+    assert s2["resmag"] <= s1["resmag"]
