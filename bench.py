@@ -394,6 +394,8 @@ def _run_phase_subprocess(phase: str, tries: int = 3,
             partial["phase_seconds"] = time.time() - t_start
             partial["note"] = f"partial (child rc={rc} after some paths)"
             return partial
+        if attempt >= tries:
+            break           # no retry follows: skip the canary wait
         if phase in _CPU_PHASES:
             continue        # no relay involved: retry immediately
         # wait out a bad window, bounded by the budget
@@ -520,17 +522,21 @@ def main():
     # 768/512 rungs are still honest measurements (768 streams; 512 is
     # labeled vmem_resident).
     stream = None
-    for rung, tries in [("stencil_stream", 2), ("stencil_stream_768", 1),
-                        ("stencil_stream_512", 1)]:
-        # reserve ~200s of budget for the CPU-side cycle-count fallback
-        r = _run_phase_subprocess(rung, tries=tries, min_leftover_s=200.0,
-                                  child_timeout_s=300.0)
-        details[rung] = r
-        _write_details(details)
-        if "error" not in r:
-            stream = r
-            break
-        if _remaining() < 300:
+    for lap in range(3):
+        for rung in _HEADLINE_PHASES:
+            if _remaining() < 300:
+                break
+            # single try per rung per lap (no canary stalls inside the
+            # runner); ~200s of budget stays reserved for the CPU-side
+            # cycle-count fallback
+            r = _run_phase_subprocess(rung, tries=1, min_leftover_s=200.0,
+                                      child_timeout_s=300.0)
+            details[rung if lap == 0 else f"{rung}_lap{lap}"] = r
+            _write_details(details)
+            if "error" not in r:
+                stream = r
+                break
+        if stream is not None or _remaining() < 300:
             break
     if stream is not None:
         _print_headline(stream)
