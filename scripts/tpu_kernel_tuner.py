@@ -1,0 +1,109 @@
+"""Stencil-kernel tuning sweep on the real TPU (run in a healthy relay
+window; see scripts/tpu_when_healthy.py for the canary pattern).
+
+Measures, each in a fresh subprocess (a relay failure poisons a process):
+  - XLA apply_D at L in {512, 768, 1024}
+  - tiled Pallas apply_D at the same L over a TX ladder
+  - whole-lattice Pallas apply_D at L=512 with the VMEM fit limit raised
+    (v5e has more physical VMEM than the conservative 16 MiB assumption;
+    the scoped-VMEM compile limit is raised via TPU_MG_SCOPED_VMEM_KIB)
+
+Writes /tmp/kernel_tune.json incrementally. Use the results to pick
+PALLAS defaults (_pick_tile start, VMEM_BYTES) for the bench headline.
+"""
+import itertools
+import json
+import os
+import subprocess
+import sys
+import time
+
+WORKER = r'''
+import json, sys, numpy as np
+import jax, jax.numpy as jnp
+import tpu_multigrid as mg
+from tpu_multigrid.ops import stencil, pallas_stencil as ps
+from tpu_multigrid.profiling import time_op, peak_bandwidth
+
+mode, L, TX = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.07, nlevels=1, dtype="complex64")
+rng = np.random.default_rng(7)
+U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)), cfg.cdtype)
+D = mg.models.operators.assemble("wilson", U, cfg.m)
+v = jnp.asarray(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L))).astype(cfg.cdtype)
+n = 2
+if mode == "xla":
+    f = lambda D, v: stencil.apply_D(D, v)
+elif mode == "tiled":
+    f = lambda D, v: ps.apply_D_pallas_tiled(D, v, TX=TX)
+elif mode == "vmem":
+    ps.VMEM_BYTES = 256 * 1024 * 1024   # let the fit check pass; the real
+    f = lambda D, v: ps.apply_D_pallas(D, v)  # limit is the compile option
+else:
+    raise SystemExit(2)
+# numerics guard vs the XLA path before timing
+ref = stencil.apply_D(D, v)
+out = f(D, v)
+err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+assert err < 2e-6, f"numerics mismatch {err}"
+reps = max(20, int(3e9 / ((5*n*n + 2*n) * L * L * 8)))
+dt = time_op(f, D, v, reps=reps)
+bw = (5*n*n + 2*n) * L * L * 8 / dt
+print(json.dumps({"mode": mode, "L": L, "TX": TX, "us": dt*1e6,
+                  "GBps": bw/1e9, "frac": bw/peak_bandwidth(),
+                  "rel_err": err}))
+'''
+
+CANARY = ("import jax, jax.numpy as jnp; "
+          "v = float(jax.jit(lambda a: (a @ a).sum())"
+          "(jnp.ones((128,128), jnp.float32))); assert v == 128**3; "
+          "print('ok')")
+
+
+def canary_ok(timeout_s=120):
+    try:
+        r = subprocess.run([sys.executable, "-c", CANARY],
+                           capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    items = [("xla", 512, 0), ("xla", 768, 0), ("xla", 1024, 0),
+             ("vmem", 512, 0)]
+    for L in (512, 768, 1024):
+        for TX in (8, 16, 32, 64, 128, 256):
+            if L % TX == 0:
+                items.append(("tiled", L, TX))
+    results = []
+    env = dict(os.environ)
+    env["TPU_MG_SCOPED_VMEM_KIB"] = env.get("TPU_MG_SCOPED_VMEM_KIB",
+                                            "98304")
+    deadline = time.time() + float(os.environ.get("TUNE_BUDGET_S", 3600))
+    for mode, L, TX in items:
+        if time.time() > deadline:
+            break
+        while not canary_ok() and time.time() < deadline:
+            time.sleep(60)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", WORKER, mode, str(L), str(TX)],
+                capture_output=True, text=True, timeout=420, env=env)
+            if r.returncode == 0:
+                row = json.loads(r.stdout.strip().splitlines()[-1])
+            else:
+                row = {"mode": mode, "L": L, "TX": TX,
+                       "error": r.stderr[-200:]}
+        except subprocess.TimeoutExpired:
+            row = {"mode": mode, "L": L, "TX": TX, "error": "timeout"}
+        row["wall_s"] = time.time() - t0
+        results.append(row)
+        print(row, flush=True)
+        with open("/tmp/kernel_tune.json", "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
