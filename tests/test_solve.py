@@ -200,3 +200,15 @@ def test_iterative_refinement_matches_f64_solve():
     assert np.max(np.abs(out.phi - ref.phi)) < 1e-11
     # each outer step contracts by roughly the 2-cycle MG factor
     assert out.history[-1] < 1e-3 * out.history[0]
+
+
+def test_fmg_solve():
+    """FMG initial guess converges at least as fast as a zero start
+    (its own sweep counted as one cycle)."""
+    import tpu_multigrid as mg
+    cfg, hier, D, b = setup_problem("wilson", L=16, nlevels=2, m=0.1,
+                                    num_iters=4)
+    out0 = mg.solve_chunked(hier, b, cfg, max_iters=300, chunk=1)
+    outf = mg.solve_fmg(hier, b, cfg, max_iters=300, chunk=1)
+    assert outf.converged
+    assert outf.iters <= out0.iters + 1

@@ -22,7 +22,7 @@ from .solver.hierarchy import (Hierarchy, LevelOps, NTLOps, build_hierarchy,
                                cast_hierarchy)
 from .solver.cycles import v_cycle, ntl_cycle, cycle, min_res_weights
 from .solver.driver import (solve, solve_chunked, solve_with_history,
-                            solve_ir, mr_solve, SolveResult)
+                            solve_ir, solve_fmg, mr_solve, SolveResult)
 
 __version__ = "0.1.0"
 

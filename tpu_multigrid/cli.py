@@ -59,12 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="near-null checkpoint path (.npz or reference .txt)")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
-    p.add_argument("--solver", choices=["stationary", "fgmres", "ir"],
+    p.add_argument("--solver", choices=["stationary", "fgmres", "ir",
+                                        "fmg"],
                    default="stationary",
                    help="outer iteration: stationary MG cycles (reference "
-                        "behavior), MG-preconditioned flexible GMRES, or "
+                        "behavior), MG-preconditioned flexible GMRES, "
                         "mixed-precision iterative refinement (f64 defect, "
-                        "complex64 inner cycles — the TPU fast path)")
+                        "complex64 inner cycles — the TPU fast path), or "
+                        "full multigrid (FMG nested-iteration start)")
     p.add_argument("--ir-inner-cycles", type=int, default=2,
                    help="MG cycles per iterative-refinement outer step")
     p.add_argument("--ndof-coarse", type=int, default=None,
@@ -212,6 +214,8 @@ def main(argv=None):
     elif getattr(ns, "solver", "stationary") == "ir":
         out = mg.solve_ir(hier, b, cfg,
                           inner_cycles=getattr(ns, "ir_inner_cycles", 2))
+    elif getattr(ns, "solver", "stationary") == "fmg":
+        out = mg.solve_fmg(hier, b, cfg)
     else:
         out = mg.solve_with_history(hier, b, cfg, writer=writer)
     dt = time.time() - t0

@@ -207,6 +207,51 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
     return tuple(phis), a
 
 
+def fmg_init(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
+             n_vcycles: int = 1, coarsest_iters: Optional[int] = None):
+    """Full-multigrid (FMG / nested-iteration) initial guess — an
+    extension beyond the reference (which always starts cycles from zero,
+    modules_main.h:442): restrict the rhs down the hierarchy, relax the
+    coarsest problem hard, then prolongate upward refining with
+    `n_vcycles` V-cycles per level. Returns a per-level phis tuple whose
+    entry 0 is an O(one-cycle-cost) initial guess that typically saves
+    several outer cycles.
+
+    The coarse problems use the Galerkin operators, so the level-l rhs is
+    the plain restriction P b (consistent with D_c = P D P†).
+    """
+    import dataclasses as _dc
+
+    L = hier.levels
+    n = cfg.nlevels
+    bx, by = cfg.block_x, cfg.block_y
+    if n == 0:
+        phi = _relax(L[0], jnp.zeros_like(b), b, cfg)
+        return (phi,)
+
+    bs = [b]
+    for l in range(n):
+        bs.append(restrict(L[l].phi_null, bs[l], cfg.quad, bx, by))
+
+    ci = coarsest_iters or 4 * cfg.num_iters
+    phi = smooth(L[n].D, L[n].D0inv, jnp.zeros_like(bs[n]), bs[n], ci,
+                 cfg.smoother, cfg.omega)
+    for l in range(n - 1, -1, -1):
+        phi = prolong(L[l].phi_null, phi, cfg.quad, bx, by)
+        sub_h = Hierarchy(levels=L[l:], ntl=None)
+        sub_c = _dc.replace(cfg, nlevels=n - l, ntl=False)
+        phis = (phi,) + tuple(
+            jnp.zeros((lev.D.shape[1], lev.D.shape[-1], lev.D.shape[-1]),
+                      b.dtype) for lev in L[l + 1:])
+        for _ in range(n_vcycles):
+            phis = v_cycle(sub_h, phis, bs[l], sub_c)
+        phi = phis[0]
+
+    return (phi,) + tuple(
+        jnp.zeros((lev.D.shape[1], lev.D.shape[-1], lev.D.shape[-1]),
+                  b.dtype) for lev in L[1:])
+
+
 def cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
     """Dispatch: NTL if configured, else plain V/W-cycle.
     Returns (phis, a)."""

@@ -111,6 +111,23 @@ def solve_chunked(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                        converged=resmag < cfg.res_threshold)
 
 
+def solve_fmg(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
+              n_vcycles: int = 1, max_iters: Optional[int] = None,
+              chunk: int = 10) -> SolveResult:
+    """Full-multigrid solve: FMG initial guess (cycles.fmg_init), then
+    chunked outer cycles. The FMG sweep costs about one extra V-cycle and
+    typically saves several outer cycles (beyond-reference extension).
+    The reported `iters` counts the FMG sweep as one cycle."""
+    from ..utils.compile import aot_call
+    from .cycles import fmg_init
+
+    phis0 = aot_call(lambda h, bb: fmg_init(h, bb, cfg, n_vcycles),
+                     hier, b, key=("fmg", cfg, n_vcycles))
+    out = solve_chunked(hier, b, cfg, phis0=phis0, max_iters=max_iters,
+                        chunk=chunk)
+    return dataclasses.replace(out, iters=out.iters + 1)
+
+
 def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
              inner_cycles: int = 2, max_iters: Optional[int] = None,
              inner_dtype: str = "complex64") -> SolveResult:
