@@ -81,28 +81,45 @@ def main():
     env["TPU_MG_SCOPED_VMEM_KIB"] = env.get("TPU_MG_SCOPED_VMEM_KIB",
                                             "98304")
     deadline = time.time() + float(os.environ.get("TUNE_BUDGET_S", 3600))
-    for mode, L, TX in items:
-        if time.time() > deadline:
-            break
-        while not canary_ok() and time.time() < deadline:
-            time.sleep(60)
-        t0 = time.time()
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", WORKER, mode, str(L), str(TX)],
-                capture_output=True, text=True, timeout=420, env=env)
-            if r.returncode == 0:
-                row = json.loads(r.stdout.strip().splitlines()[-1])
+    pending = list(items)
+    while pending and time.time() < deadline:
+        requeue = []
+        fails_in_a_row = 0
+        for mode, L, TX in pending:
+            if time.time() > deadline:
+                requeue.extend([(mode, L, TX)])
+                continue
+            if fails_in_a_row >= 3:
+                # bad window: stop burning items, requeue the rest
+                requeue.append((mode, L, TX))
+                continue
+            while not canary_ok() and time.time() < deadline:
+                time.sleep(60)
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", WORKER, mode, str(L), str(TX)],
+                    capture_output=True, text=True, timeout=420, env=env)
+                if r.returncode == 0:
+                    row = json.loads(r.stdout.strip().splitlines()[-1])
+                else:
+                    row = {"mode": mode, "L": L, "TX": TX,
+                           "error": r.stderr[-200:]}
+            except subprocess.TimeoutExpired:
+                row = {"mode": mode, "L": L, "TX": TX, "error": "timeout"}
+            row["wall_s"] = time.time() - t0
+            print(row, flush=True)
+            if "error" in row:
+                fails_in_a_row += 1
+                requeue.append((mode, L, TX))
             else:
-                row = {"mode": mode, "L": L, "TX": TX,
-                       "error": r.stderr[-200:]}
-        except subprocess.TimeoutExpired:
-            row = {"mode": mode, "L": L, "TX": TX, "error": "timeout"}
-        row["wall_s"] = time.time() - t0
-        results.append(row)
-        print(row, flush=True)
-        with open("/tmp/kernel_tune.json", "w") as f:
-            json.dump(results, f, indent=1)
+                fails_in_a_row = 0
+                results.append(row)
+                with open("/tmp/kernel_tune.json", "w") as f:
+                    json.dump(results, f, indent=1)
+        if requeue and len(requeue) == len(pending):
+            time.sleep(300)   # nothing succeeded this lap: wait a window
+        pending = requeue
 
 
 if __name__ == "__main__":
