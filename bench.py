@@ -72,9 +72,11 @@ def _remaining() -> float:
 
 # One-time measurement of the reference gen-1 binary's headline run
 # (L=2048, m=0.002, 9 levels, 20 GS sweeps, sum|r| < 1e-14) on this host,
-# single thread, g++ -O2 (scripts/reference_oracle.run_gen1). Filled in
-# when measured; compared against the geo2048 phase.
-_REF_GEN1_CPU = None
+# single thread, g++ -O2 (scripts/reference_oracle.run_gen1): it did NOT
+# complete within 2900 s wall (measured 2026-08-19; two attempts, 1100 s
+# and 2900 s limits). Recorded as the comparison floor for geo2048.
+_REF_GEN1_CPU = {"seconds": ">2900 (timed out)", "host": "single-thread",
+                 "compiler": "g++ -O2", "measured": "2026-08-19"}
 
 
 def device_peak_bw():
@@ -227,6 +229,46 @@ def bench_mg_vs_mr(L=256, tries=3, platform="cpu"):
     return {"error": err}
 
 
+def bench_solve256(tries=2):
+    """Production fast path end-to-end on the accelerator: wilson 256^2
+    NTL MG solve in complex64 (Pallas smoothers in-cycle) to 1e-6 —
+    wall-clock seconds for setup and solve, plus cycle count."""
+    import jax
+    import tpu_multigrid as mg
+
+    L = 256
+    cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=3, ntl=True,
+                      num_iters=4, null_iters=100, dtype="complex64",
+                      res_threshold=1e-6, smoother="rbgs")
+    rng = np.random.default_rng(cfg.seed)
+    U = mg.models.gauge.gauge_from_phases(
+        0.2 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
+    b = mg.point_source(cfg)
+    err = None
+    for attempt in range(tries):
+        try:
+            t0 = time.perf_counter()
+            hier = mg.build_hierarchy(D, cfg, check=False)
+            t_setup = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = mg.solve_chunked(hier, b, cfg, max_iters=200, chunk=5)
+            t_cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = mg.solve_chunked(hier, b, cfg, max_iters=200, chunk=5)
+            t_warm = time.perf_counter() - t0
+            return {"L": L, "dtype": "complex64", "cycles": out.iters,
+                    "res": out.resmag, "converged": out.converged,
+                    "setup_seconds": t_setup,
+                    "solve_seconds_cold": t_cold,
+                    "solve_seconds_warm": t_warm,
+                    "device_kind": jax.devices()[0].device_kind}
+        except Exception as e:
+            err = str(e)[:150]
+            time.sleep(3)
+    return {"error": err}
+
+
 def bench_geo2048(tries=2):
     """The reference's own headline run (gen 1: geometric MG, L=2048,
     m=0.002, 9 levels, 20 sweeps/level, sum|r| < 1e-14 — hardcoded at
@@ -299,6 +341,7 @@ PHASES = {
     "stencil_stream_768": lambda: phase_stencil(L=768, reps=40),
     "stencil_stream_512": lambda: phase_stencil(L=512, reps=60),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
+    "solve256": bench_solve256,
     "geo2048": bench_geo2048,
 }
 
@@ -552,6 +595,7 @@ def main():
     # Detail phases: opportunistic, budget-gated.
     for key, phase in [("stencil_resident_256", "stencil"),
                        ("mg_vs_mr", "mg_vs_mr"),
+                       ("solve256", "solve256"),
                        ("geo2048", "geo2048")]:
         if key in details:
             continue
