@@ -103,9 +103,10 @@ def _write_partial(result: dict):
 
 def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                   tries=2, on_partial=None):
-    """Time reps x apply_D (XLA path, and the fused Pallas kernels where
-    applicable — whole-in-VMEM at small L, x-tiled at large L) in one
-    jitted fori_loop; return (best_seconds/apply, n, {path: seconds}, err).
+    """Time reps x apply_D in one jitted fori_loop per path — XLA dense,
+    XLA spin-projected (links-only), and the fused Pallas kernels where
+    applicable (whole-in-VMEM at small L, x-tiled at large L; dense and
+    links-only variants). Returns (times, n, path_bytes, errs).
 
     Timing discipline for the axon relay: block_until_ready does NOT
     synchronize there (and errors only surface at value fetch), so each
@@ -131,33 +132,50 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     v = jnp.asarray(rng.normal(size=(n, L, L))
                     + 1j * rng.normal(size=(n, L, L))).astype(cfg.cdtype)
 
+    csize = 8 if dtype == "complex64" else 16
+    dense_bytes = (5 * n * n + 2 * n) * L * L * csize
+    # spin-projected (links-only) path: 2 link planes + v in + out
+    u_bytes = (2 + 2 * n) * L * L * csize
+
     scale = 1.0 / (4.0 + cfg.m)
-    paths = {"xla": lambda D, v: apply_D(D, v) * scale}
+    # name -> (fn(args...), argtuple, min HBM bytes per apply)
+    paths = {"xla": (lambda D, v: apply_D(D, v) * scale, (D, v),
+                     dense_bytes)}
+    if stencil == "wilson":
+        from tpu_multigrid.ops.gauge_stencil import apply_wilson_u
+        paths["xla_u"] = (
+            lambda U, v: apply_wilson_u(U, cfg.m, v), (U, v), u_bytes)
     if ps.use_pallas(v.dtype, n, L):
-        paths["pallas"] = lambda D, v: ps.apply_D_pallas(D, v) * scale
+        paths["pallas"] = (lambda D, v: ps.apply_D_pallas(D, v) * scale,
+                           (D, v), dense_bytes)
     elif (v.dtype == jnp.complex64 and ps._on_tpu()
           and ps._pick_tile(n, L)):
         paths["pallas_tiled"] = (
-            lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale)
+            lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale, (D, v),
+            dense_bytes)
+    if (stencil == "wilson" and v.dtype == jnp.complex64 and ps._on_tpu()
+            and ps._pick_tile_u(L)):
+        paths["pallas_u"] = (
+            lambda U, v: ps.apply_wilson_u_pallas(U, cfg.m, v), (U, v),
+            u_bytes)
 
     peak, _ = device_peak_bw()
-    bytes_per_apply = (5 * n * n + 2 * n) * L * L * 8
-    min_dt = bytes_per_apply / (1.5 * peak)   # faster than this = bogus
 
     from tpu_multigrid.profiling import time_op
 
     errs = {}
     times = {}
     for attempt in range(tries):
-        for name, f in paths.items():
+        for name, (f, args, nbytes) in paths.items():
             if name in times:
                 continue
             # each path measured + retried independently: a Pallas path
             # failing to lower on the relay must not forfeit the XLA
-            # measurement (the headline is min over surviving paths)
+            # measurement (the headline is the best surviving path)
             try:
                 # perturb program content on retry (fresh compile)
-                dt = time_op(f, D, v, reps=reps + attempt)
+                dt = time_op(f, *args, reps=reps + attempt)
+                min_dt = nbytes / (1.5 * peak)  # faster than SoL = bogus
                 if dt < min_dt:
                     raise RuntimeError(
                         f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"
@@ -165,7 +183,8 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                 times[name] = dt
                 errs.pop(name, None)
                 if on_partial:
-                    on_partial(dict(times))
+                    on_partial(dict(times),
+                               {k: paths[k][2] for k in paths})
             except Exception as e:  # transient backend failure: retry
                 errs[name] = f"try{attempt}: " + str(e)[:120]
         if "xla" in times and len(times) == len(paths):
@@ -176,7 +195,8 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     if not times:
         raise RuntimeError(
             f"stencil bench failed after {tries} tries: {errs}")
-    return min(times.values()), n, times, errs or None
+    path_bytes = {name: paths[name][2] for name in paths}
+    return times, n, path_bytes, errs or None
 
 
 def bench_mg_vs_mr(L=256, tries=3, platform="cpu"):
@@ -301,38 +321,52 @@ def bench_geo2048(tries=2):
     return {"error": err}
 
 
-def _stencil_result(L, n, peak, kind, times, warn=None):
-    dt = min(times.values())
-    csize = 8  # complex64 bytes
-    bytes_per_apply = (5 * n * n + 2 * n) * L * L * csize
+def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None):
+    """Build the phase result from per-path timings.
+
+    Every path computes the SAME SpMV (identical nnz), but the minimum
+    HBM traffic differs by operator representation (dense D vs the
+    spin-projected links-only form), so nnz/s and the bandwidth fraction
+    are computed per path with that path's own bytes. The headline is
+    the best nnz/s; 'streaming' means the working set cannot stay
+    VMEM-resident across the timing loop's iterations (> 1.5x VMEM)."""
     nnz = 5 * n * n * L * L
-    streaming = bytes_per_apply > 64 * 1024 * 1024   # can't live in VMEM
+    vmem = 16 * 1024 * 1024
+    rows = {}
+    for name, dt in times.items():
+        b = path_bytes[name]
+        streaming = b > int(1.5 * vmem)
+        rows[name] = {
+            "sec_per_apply": dt, "bytes_per_apply": b,
+            "achieved_bytes_per_s": b / dt, "nnz_per_s": nnz / dt,
+            "bw_fraction": b / dt / peak,
+            "regime": "hbm_streaming" if streaming else "vmem_resident"}
+    best = max(rows, key=lambda k: rows[k]["nnz_per_s"])
     out = {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
-           "L": L, "n": n, "sec_per_apply": dt,
-           "sec_per_apply_by_path": times,
-           "bytes_per_apply": bytes_per_apply,
-           "achieved_bytes_per_s": bytes_per_apply / dt,
-           "nnz_per_s": nnz / dt,
-           "regime": "hbm_streaming" if streaming else "vmem_resident",
+           "L": L, "n": n, "paths": rows, "best_path": best,
+           "sec_per_apply": rows[best]["sec_per_apply"],
+           "bytes_per_apply": rows[best]["bytes_per_apply"],
+           "achieved_bytes_per_s": rows[best]["achieved_bytes_per_s"],
+           "nnz_per_s": rows[best]["nnz_per_s"],
+           "regime": rows[best]["regime"],
            "transient_errors": warn}
-    frac = bytes_per_apply / dt / peak
-    if streaming:
-        out["roofline_fraction"] = frac
+    if out["regime"] == "hbm_streaming":
+        out["roofline_fraction"] = rows[best]["bw_fraction"]
     else:
-        # D stays VMEM-resident across fori_loop iterations: the effective
-        # bandwidth exceeds nominal HBM BW; not a roofline fraction.
-        out["effective_bw_fraction"] = frac
+        # operands stay VMEM-resident across fori_loop iterations: the
+        # effective bandwidth can exceed nominal HBM BW; not a roofline.
+        out["effective_bw_fraction"] = rows[best]["bw_fraction"]
     return out
 
 
 def phase_stencil(L=256, reps=200):
     peak, kind = device_peak_bw()
     n_guess = 2  # wilson
-    dt, n, times, warn = bench_stencil(
+    times, n, path_bytes, warn = bench_stencil(
         L=L, reps=reps,
-        on_partial=lambda t: _write_partial(
-            _stencil_result(L, n_guess, peak, kind, t, "partial")))
-    return _stencil_result(L, n, peak, kind, times, warn)
+        on_partial=lambda t, pb: _write_partial(
+            _stencil_result(L, n_guess, peak, kind, t, pb, "partial")))
+    return _stencil_result(L, n, peak, kind, times, path_bytes, warn)
 
 
 PHASES = {

@@ -32,6 +32,8 @@ U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)), cfg.cdtype)
 D = mg.models.operators.assemble("wilson", U, cfg.m)
 v = jnp.asarray(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L))).astype(cfg.cdtype)
 n = 2
+args = (D, v)
+nbytes = (5*n*n + 2*n) * L * L * 8
 if mode == "xla":
     f = lambda D, v: stencil.apply_D(D, v)
 elif mode == "tiled":
@@ -39,19 +41,29 @@ elif mode == "tiled":
 elif mode == "vmem":
     ps.VMEM_BYTES = 256 * 1024 * 1024   # let the fit check pass; the real
     f = lambda D, v: ps.apply_D_pallas(D, v)  # limit is the compile option
+elif mode == "xlau":        # spin-projected links-only (XLA)
+    from tpu_multigrid.ops.gauge_stencil import apply_wilson_u
+    f = lambda U, v: apply_wilson_u(U, cfg.m, v)
+    args = (U, v)
+    nbytes = (2 + 2*n) * L * L * 8
+elif mode == "pallas_u":    # spin-projected links-only (Pallas tiled)
+    f = lambda U, v: ps.apply_wilson_u_pallas(U, cfg.m, v, TX=TX or None)
+    args = (U, v)
+    nbytes = (2 + 2*n) * L * L * 8
 else:
     raise SystemExit(2)
 # numerics guard vs the XLA path before timing
 ref = stencil.apply_D(D, v)
-out = f(D, v)
+out = f(*args)
 err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
 assert err < 2e-6, f"numerics mismatch {err}"
-reps = max(20, int(3e9 / ((5*n*n + 2*n) * L * L * 8)))
-dt = time_op(f, D, v, reps=reps)
-bw = (5*n*n + 2*n) * L * L * 8 / dt
+reps = max(20, int(3e9 / nbytes))
+dt = time_op(f, *args, reps=reps)
+bw = nbytes / dt
+nnzps = 5*n*n * L * L / dt
 print(json.dumps({"mode": mode, "L": L, "TX": TX, "us": dt*1e6,
                   "GBps": bw/1e9, "frac": bw/peak_bandwidth(),
-                  "rel_err": err}))
+                  "nnz_per_s": nnzps, "rel_err": err}))
 '''
 
 CANARY = ("import jax, jax.numpy as jnp; "
@@ -70,11 +82,13 @@ def canary_ok(timeout_s=120):
 
 
 def main():
-    items = [("xla", 512, 0), ("xla", 768, 0), ("xla", 1024, 0),
+    items = [("xlau", 1024, 0), ("xla", 1024, 0), ("pallas_u", 1024, 0),
+             ("xlau", 512, 0), ("xla", 512, 0), ("xla", 768, 0),
              ("vmem", 512, 0)]
-    for L in (512, 768, 1024):
-        for TX in (8, 16, 32, 64, 128, 256):
+    for L in (1024, 512, 768):
+        for TX in (64, 128, 8, 16, 32, 256):
             if L % TX == 0:
+                items.append(("pallas_u", L, TX))
                 items.append(("tiled", L, TX))
     results = []
     env = dict(os.environ)

@@ -107,3 +107,17 @@ def test_rbgs_pallas(interpret_pallas, st):
     phi_x = smooth(D, Dinv, v, r, 2, "rbgs")
     rel = float(jnp.max(jnp.abs(phi_p - phi_x)) / jnp.max(jnp.abs(phi_x)))
     assert rel < 1e-5
+
+
+@pytest.mark.parametrize("TX", [8, 32])
+def test_apply_wilson_u_pallas_tiled(interpret_pallas, TX):
+    """Spin-projected (links-only) tiled kernel == dense XLA apply."""
+    cfg, D, v = _setup("wilson", L=32)
+    rng = np.random.default_rng(3)
+    U = gauge.gauge_from_phases(0.2 * rng.normal(size=(2, 32, 32)),
+                                cfg.cdtype)
+    out_p = ps.apply_wilson_u_pallas(U, cfg.m, v, TX=TX)
+    out_x = stencil.apply_D(D, v)
+    err = float(jnp.max(jnp.abs(out_p - out_x))
+                / jnp.max(jnp.abs(out_x)))
+    assert err < 2e-6

@@ -472,6 +472,118 @@ def smooth_pallas_tiled(D, D0inv, phi, r, n_sweeps: int = 1,
     return (pr + 1j * pi).astype(phi.dtype)
 
 
+# --- spin-projected (links-only) wilson kernel ------------------------------
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _wilson_u_kernel(TX, m, uxr_ref, uxi_ref, uyr_ref, uyi_ref,
+                     dnxr_ref, dnxi_ref, vr_ref, vi_ref,
+                     upr_ref, upi_ref, dnr_ref, dni_ref, or_ref, oi_ref):
+    """One x-tile of the spin-projected Wilson SpMV
+    (ops.gauge_stencil.apply_wilson_u math; 4 link planes instead of the
+    dense 20 D planes — ~4x less HBM traffic for identical math).
+
+    Refs: ux/uy tiles [TX, L]; dnx*_ref [8, L] is the 8-row block holding
+    the wrapped x-1 link row (row 7); v*_ref [2, TX, L] with up/dn halo
+    blocks [2, 8, L] as in _tiled_apply_kernel.
+    """
+    L = vr_ref.shape[-1]
+    v0r, v0i = vr_ref[0], vi_ref[0]
+    v1r, v1i = vr_ref[1], vi_ref[1]
+    uxr, uxi = uxr_ref[:], uxi_ref[:]
+    uyr, uyi = uyr_ref[:], uyi_ref[:]
+
+    def splice_xp(p_tile, p_up):
+        return jnp.concatenate([p_tile[1:, :], p_up[0:1, :]], axis=0)
+
+    def splice_xm(p_tile, p_dn):
+        return jnp.concatenate([p_dn[7:8, :], p_tile[:-1, :]], axis=0)
+
+    # +x: h_a = ux(x) * (v0 - v1)(x+1)
+    ar = splice_xp(v0r - v1r, upr_ref[0] - upr_ref[1])
+    ai = splice_xp(v0i - v1i, upi_ref[0] - upi_ref[1])
+    har, hai = _cmul(uxr, uxi, ar, ai)
+    # -x: h_b = conj(ux(x-1)) * (v0 + v1)(x-1)
+    br = splice_xm(v0r + v1r, dnr_ref[0] + dnr_ref[1])
+    bi = splice_xm(v0i + v1i, dni_ref[0] + dni_ref[1])
+    uxmr = splice_xm(uxr, dnxr_ref[:])
+    uxmi = splice_xm(uxi, dnxi_ref[:])
+    hbr, hbi = _cmul(uxmr, -uxmi, br, bi)
+    # +y: h_c = uy(x) * (v0 + i v1)(y+1)
+    cr = pltpu.roll(v0r - v1i, L - 1, 1)
+    ci = pltpu.roll(v0i + v1r, L - 1, 1)
+    hcr, hci = _cmul(uyr, uyi, cr, ci)
+    # -y: h_d = conj(uy(y-1)) * (v0 - i v1)(y-1)
+    dr = pltpu.roll(v0r + v1i, 1, 1)
+    di = pltpu.roll(v0i - v1r, 1, 1)
+    uymr = pltpu.roll(uyr, 1, 1)
+    uymi = pltpu.roll(uyi, 1, 1)
+    hdr, hdi = _cmul(uymr, -uymi, dr, di)
+
+    s = 2.0 + m
+    out0r = s * v0r + 0.5 * (har + hbr + hcr + hdr)
+    out0i = s * v0i + 0.5 * (hai + hbi + hci + hdi)
+    # out1 = s*v1 + 0.5*(-ha + hb - i*hc + i*hd);  -i*h = (hi, -hr)
+    out1r = s * v1r + 0.5 * (-har + hbr + hci - hdi)
+    out1i = s * v1i + 0.5 * (-hai + hbi - hcr + hdr)
+    or_ref[:] = jnp.stack([out0r, out1r])
+    oi_ref[:] = jnp.stack([out0i, out1i])
+
+
+def _pick_tile_u(L: int) -> int:
+    """Row tile for the links-only kernel: ~14 f32 planes of [TX, L]."""
+    for tx in _tile_candidates(L, 256):
+        if 4 * 14 * tx * L <= int(0.5 * VMEM_BYTES):
+            return tx
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("m", "TX"))
+def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
+                          TX: int | None = None) -> jnp.ndarray:
+    """x-tiled spin-projected Wilson SpMV; U [2,L,L] c64, v [2,L,L] c64.
+
+    Identical math to ops.gauge_stencil.apply_wilson_u (and therefore to
+    apply_D on the assembled dense stencil); streams the 4 link planes
+    instead of the 20 dense-D planes.
+    """
+    L = v.shape[-1]
+    TX = TX or _pick_tile_u(L)
+    if not TX or TX % 8 or L % TX:
+        raise ValueError(f"no valid x-tile for L={L}; use the XLA path")
+    grid = (L // TX,)
+    uxr, uxi = _split(U[0])
+    uyr, uyi = _split(U[1])
+    vr, vi = _split(v)
+
+    def up_map(i):
+        return (0, ((i * TX + TX) % L) // 8, 0)
+
+    def dn_map(i):
+        return (0, ((i * TX - 8) % L) // 8, 0)
+
+    uspec = pl.BlockSpec((TX, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    udn = pl.BlockSpec((8, L), lambda i: (((i * TX - 8) % L) // 8, 0),
+                       memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((2, TX, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    hup = pl.BlockSpec((2, 8, L), up_map, memory_space=pltpu.VMEM)
+    hdn = pl.BlockSpec((2, 8, L), dn_map, memory_space=pltpu.VMEM)
+    kern = functools.partial(_wilson_u_kernel, TX, m)
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct(v.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v.shape, jnp.float32)),
+        in_specs=[uspec, uspec, uspec, uspec, udn, udn,
+                  vspec, vspec, hup, hup, hdn, hdn],
+        out_specs=(vspec, vspec),
+    )(uxr, uxi, uyr, uyi, uxr, uxi, vr, vi, vr, vi, vr, vi)
+    return (out_r + 1j * out_i).astype(v.dtype)
+
+
 def _on_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform
