@@ -60,13 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--solver", choices=["stationary", "fgmres", "ir",
-                                        "fmg"],
+                                        "fmg", "eo_mr"],
                    default="stationary",
                    help="outer iteration: stationary MG cycles (reference "
                         "behavior), MG-preconditioned flexible GMRES, "
                         "mixed-precision iterative refinement (f64 defect, "
-                        "complex64 inner cycles — the TPU fast path), or "
-                        "full multigrid (FMG nested-iteration start)")
+                        "complex64 inner cycles — the TPU fast path), "
+                        "full multigrid (FMG nested-iteration start), or "
+                        "even-odd Schur-preconditioned minimal residual "
+                        "(no MG hierarchy)")
     p.add_argument("--ir-inner-cycles", type=int, default=2,
                    help="MG cycles per iterative-refinement outer step")
     p.add_argument("--ndof-coarse", type=int, default=None,
@@ -216,6 +218,13 @@ def main(argv=None):
                           inner_cycles=getattr(ns, "ir_inner_cycles", 2))
     elif getattr(ns, "solver", "stationary") == "fmg":
         out = mg.solve_fmg(hier, b, cfg)
+    elif getattr(ns, "solver", "stationary") == "eo_mr":
+        phi, iters, rel = mg.eo_mr_solve(hier.levels[0].D, b,
+                                         tol=cfg.res_threshold,
+                                         max_iters=cfg.max_iters, chunk=200)
+        from .solver.driver import SolveResult
+        out = SolveResult(phi=np.asarray(phi), iters=iters, resmag=rel,
+                          converged=rel < cfg.res_threshold)
     else:
         out = mg.solve_with_history(hier, b, cfg, writer=writer)
     dt = time.time() - t0
