@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 STENCILS = ("laplace", "wilson")
-SMOOTHERS = ("jacobi", "rbgs", "gs_lex")
+SMOOTHERS = ("jacobi", "rbgs", "gs_lex", "chebyshev")
 
 # Stencil direction index convention (matches reference D(X, idx), level.h:8):
 #   0 = same site, 1 = +x, 2 = -x, 3 = +y, 4 = -y
@@ -48,6 +48,12 @@ class MGConfig:
     # 'gs_lex' is exact lexicographic GS via wavefront scan (validation mode).
     smoother: str = "rbgs"
     omega: float = 1.0  # damping for Jacobi/RBGS (1.0 = reference behavior)
+    # Chebyshev smoother (beyond-reference): per-level lambda_max of the
+    # Jacobi-preconditioned operator D0^{-1} D (length nlevels+1), usually
+    # filled by solver.eigs.chebyshev_config(cfg, hier). The smoothing
+    # interval per level is [cheby_lmin_frac * lmax, 1.02 * lmax].
+    cheby_lmax: Optional[Tuple[float, ...]] = None
+    cheby_lmin_frac: float = 0.25
 
     # Non-telescoping (NTL) options.
     ntl: bool = False            # reference t_flag
@@ -111,6 +117,14 @@ class MGConfig:
         if self.ntl_combine not in ("auto", "minres", "avg_prolong",
                                     "avg_coarse"):
             raise ValueError(f"bad ntl_combine {self.ntl_combine!r}")
+        if self.smoother == "chebyshev":
+            if (self.cheby_lmax is None
+                    or len(self.cheby_lmax) != self.nlevels + 1):
+                raise ValueError(
+                    "chebyshev smoother needs cheby_lmax with one entry "
+                    "per level (nlevels+1); build the hierarchy with "
+                    "another smoother, then use "
+                    "solver.eigs.chebyshev_config(cfg, hier)")
         if self.ndof_coarse is not None:
             if self.stencil == "wilson" and self.ndof_coarse % 2:
                 raise ValueError("wilson coarse dof must be even "
@@ -158,6 +172,14 @@ class MGConfig:
     def scale0(self) -> float:
         # 1/(2+m) wilson, 1/(4+m) laplace, a=1 (params.h:76,82).
         return 1.0 / ((2.0 if self.stencil == "wilson" else 4.0) + self.m)
+
+    @property
+    def cheby_intervals(self) -> Tuple[Tuple[float, float], ...]:
+        """Per-level (lmin, lmax) Chebyshev smoothing intervals; the 2%
+        headroom above the estimated lmax guards against power-iteration
+        underestimation."""
+        return tuple((self.cheby_lmin_frac * l, 1.02 * l)
+                     for l in self.cheby_lmax)
 
     @property
     def cdtype(self):

@@ -147,12 +147,14 @@ def _quad_roll_sharded(v, quad, fwd: bool):
 # --- the sharded cycle -----------------------------------------------------
 
 def _relax(lev, phi, r, cfg, sharded: bool):
+    # gs_lex (host-sequential wavefront) and chebyshev (needs spectral
+    # intervals) are single-device features: the distributed cycle maps
+    # them to rbgs, the same-smoothing-factor parallel ordering.
+    kind = cfg.smoother if cfg.smoother in ("jacobi", "rbgs") else "rbgs"
     if sharded:
         return smooth_sharded(lev.D, lev.D0inv, phi, r, cfg.num_iters,
-                              cfg.smoother, cfg.omega)
-    return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters,
-                  cfg.smoother if cfg.smoother != "gs_lex" else "rbgs",
-                  cfg.omega)
+                              kind, cfg.omega)
+    return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, kind, cfg.omega)
 
 
 def _min_res_weights_sharded(D_f, r_f, xs_list, cfg):
@@ -191,7 +193,7 @@ def _ntl_coarse_solves_submesh(ntl, r_q, phi_shape, cfg: MGConfig,
     D_me = jnp.take(ntl.D[:nq], my_copy, axis=0)
     Dinv_me = jnp.take(ntl.D0inv[:nq], my_copy, axis=0)
     r_me = jnp.take(jnp.stack(r_q), my_copy, axis=0)
-    kind = cfg.smoother if cfg.smoother != "gs_lex" else "rbgs"
+    kind = cfg.smoother if cfg.smoother in ("jacobi", "rbgs") else "rbgs"
     phi_me = smooth(D_me, Dinv_me, jnp.zeros(phi_shape, r_me.dtype), r_me,
                     cfg.num_iters, kind, cfg.omega)
 
@@ -266,7 +268,7 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
                 relax_q = jax.vmap(
                     lambda D, Dinv, p, r: smooth(
                         D, Dinv, p, r, cfg.num_iters,
-                        cfg.smoother if cfg.smoother != "gs_lex" else "rbgs",
+                        cfg.smoother if cfg.smoother in ("jacobi", "rbgs") else "rbgs",
                         cfg.omega))
                 phi_q = relax_q(hier.ntl.D[:nq], hier.ntl.D0inv[:nq],
                                 phi_q0, jnp.stack(r_q))

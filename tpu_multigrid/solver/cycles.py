@@ -24,7 +24,10 @@ from ..ops.transfer import restrict, prolong
 from .hierarchy import Hierarchy
 
 
-def _relax(lev, phi, r, cfg: MGConfig):
+def _relax(lev, phi, r, cfg: MGConfig, lvl: int = 0):
+    if cfg.smoother == "chebyshev":
+        return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, "chebyshev",
+                      cheby_interval=cfg.cheby_intervals[lvl])
     if (cfg.pallas == "auto" and cfg.omega == 1.0
             and cfg.smoother in ("jacobi", "rbgs")):
         from ..ops import pallas_stencil as ps
@@ -59,13 +62,13 @@ def v_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
 
     bx, by = cfg.block_x, cfg.block_y
     for l in range(n):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
         res = residual(L[l].D, phis[l], rs[l])
         rs[l + 1] = restrict(L[l].phi_null, res, cfg.quad, bx, by)
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
 
     for l in range(n, -1, -1):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
         if l > 0:
             corr = prolong(L[l - 1].phi_null, phis[l], cfg.quad, bx, by)
             phis[l - 1] = phis[l - 1] + corr
@@ -87,7 +90,7 @@ def gamma_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray,
     gamma = cfg.cycle_gamma
 
     def at(l, rhs):
-        phis[l] = _relax(L[l], phis[l], rhs, cfg)
+        phis[l] = _relax(L[l], phis[l], rhs, cfg, l)
         if l == n:
             return
         res = residual(L[l].D, phis[l], rhs)
@@ -98,7 +101,7 @@ def gamma_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray,
         corr = prolong(L[l].phi_null, phis[l + 1], cfg.quad, bx, by)
         phis[l] = phis[l] + corr
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
-        phis[l] = _relax(L[l], phis[l], rhs, cfg)
+        phis[l] = _relax(L[l], phis[l], rhs, cfg, l)
 
     if n == 0:
         phis[0] = _relax(L[0], phis[0], b, cfg)
@@ -152,23 +155,26 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
 
     # Down sweep.
     for l in range(n - 1):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
         res = residual(L[l].D, phis[l], rs[l])
         rs[l + 1] = restrict(L[l].phi_null, res, cfg.quad, bx, by)
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
 
     # Transition level: restrict 4 independent ways.
     l = n - 1
-    phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+    phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
     res = residual(L[l].D, phis[l], rs[l])
     r_q = jnp.stack([
         restrict(ntl.phi_null[q], res, q + 1, bx, by) for q in range(nq)])
 
     # Coarse solves, all copies concurrently.
     phi_q0 = jnp.zeros((nq,) + phis[n].shape, phis[n].dtype)
+    cheby_n = (cfg.cheby_intervals[n] if cfg.smoother == "chebyshev"
+               else None)
     relax_q = jax.vmap(
         lambda D, Dinv, p, r: smooth(D, Dinv, p, r, cfg.num_iters,
-                                     cfg.smoother, cfg.omega))
+                                     cfg.smoother, cfg.omega,
+                                     cheby_interval=cheby_n))
     phi_q = relax_q(ntl.D[:nq], ntl.D0inv[:nq], phi_q0, r_q)
 
     combine = cfg.ntl_combine
@@ -198,7 +204,7 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
 
     # Up sweep from the next-to-coarsest level.
     for l in range(n - 1, -1, -1):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg)
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
         if l > 0:
             corr = prolong(L[l - 1].phi_null, phis[l], cfg.quad, bx, by)
             phis[l - 1] = phis[l - 1] + corr
@@ -234,12 +240,16 @@ def fmg_init(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
         bs.append(restrict(L[l].phi_null, bs[l], cfg.quad, bx, by))
 
     ci = coarsest_iters or 4 * cfg.num_iters
+    cheby_n = (cfg.cheby_intervals[n] if cfg.smoother == "chebyshev"
+               else None)
     phi = smooth(L[n].D, L[n].D0inv, jnp.zeros_like(bs[n]), bs[n], ci,
-                 cfg.smoother, cfg.omega)
+                 cfg.smoother, cfg.omega, cheby_interval=cheby_n)
     for l in range(n - 1, -1, -1):
         phi = prolong(L[l].phi_null, phi, cfg.quad, bx, by)
         sub_h = Hierarchy(levels=L[l:], ntl=None)
-        sub_c = _dc.replace(cfg, nlevels=n - l, ntl=False)
+        sub_c = _dc.replace(
+            cfg, nlevels=n - l, ntl=False,
+            cheby_lmax=(cfg.cheby_lmax[l:] if cfg.cheby_lmax else None))
         phis = (phi,) + tuple(
             jnp.zeros((lev.D.shape[1], lev.D.shape[-1], lev.D.shape[-1]),
                       b.dtype) for lev in L[l + 1:])

@@ -85,8 +85,11 @@ def _setup_level_core(D, start_or_null, cfg: MGConfig, lvl: int, quad: int,
     D0inv = site_inverse(D[0])
 
     if generate:
+        # near-null relaxation is a fixed-sweep Dx=0 relaxation; the
+        # chebyshev solve-smoother has no interval yet at setup -> rbgs
+        kind = "rbgs" if cfg.smoother == "chebyshev" else cfg.smoother
         vecs = relax_null_vectors(D, D0inv, start_or_null, cfg.null_iters,
-                                  cfg.iters_per_norm, cfg.smoother, cfg.omega)
+                                  cfg.iters_per_norm, kind, cfg.omega)
         phi_null = candidates_to_phi_null(vecs, cfg.stencil, nc)
     else:
         phi_null = start_or_null
