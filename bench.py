@@ -525,7 +525,7 @@ def _print_headline(stream):
 
 
 _HEADLINE_PHASES = ("stencil_stream", "stencil_stream_768",
-                    "stencil_stream_512")
+                    "stencil_stream_512", "stencil")
 # Phases whose metric is hardware-independent (cycle counts): run on the
 # host CPU with the axon plugin bypassed so a dead relay can't block them.
 _CPU_PHASES = {"mg_vs_mr"}
@@ -597,7 +597,10 @@ def main():
     # runs in a fresh child (one relay failure can poison a process);
     # smaller lattices are more likely to survive a shaky relay, and the
     # 768/512 rungs are still honest measurements (768 streams; 512 is
-    # labeled vmem_resident).
+    # labeled vmem_resident). The final 256 rung exists for shaky windows
+    # where only small programs compile (observed 2026-08-20: canary OK,
+    # every L>=512 program UNIMPLEMENTED) — any real nnz/s measurement
+    # beats the 0.0 fallback.
     stream = None
     for lap in range(3):
         for rung in _HEADLINE_PHASES:
