@@ -581,8 +581,11 @@ def _print_headline(stream):
     print(json.dumps(line), flush=True)
 
 
-_HEADLINE_PHASES = ("stencil_stream", "stencil_stream_768",
-                    "stencil_stream_512", "stencil_batch", "stencil")
+# Order = expected value under the observed relay: one shot at the ideal
+# single-config L=1024 stream, then the batched-256 stream (the only
+# streaming shape the relay has ever completed), then the remaining rungs.
+_HEADLINE_PHASES = ("stencil_stream", "stencil_batch",
+                    "stencil_stream_768", "stencil_stream_512", "stencil")
 # Phases whose metric is hardware-independent (cycle counts): run on the
 # host CPU with the axon plugin bypassed so a dead relay can't block them.
 _CPU_PHASES = {"mg_vs_mr"}
