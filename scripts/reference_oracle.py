@@ -60,6 +60,59 @@ def run_gen1(L: int, m: float, nlevels: int, num_iters: int,
     return hist, converged
 
 
+REF_GEN2_DIR = "/root/reference/code/2_scalar_2d_nontelescoping"
+
+
+def run_gen2(L: int, m: float, nlevels: int, num_iters: int, t_flag: int,
+             threshold: float = 1e-13, max_iters: int = 5000,
+             variant: str = "main", n_single: int = 1, timeout: int = 600):
+    """Build & run the reference's generation-2 NTL prototype
+    (telescoping_2d_laplace_Mgrid.cpp; argv: L m nlevels num_iters t_flag)
+    as a golden oracle. variant='single' builds the _singleinterpolation
+    program (its committed t_flag is a hardcoded 0, so it is patched to
+    the requested value to exercise the variant's NTL branch).
+
+    Returns (history, converged): history[k] = (k, sum|r| after k cycles)
+    — gen 2 prints at the TOP of the outer loop, one cycle BEHIND gen 1's
+    print placement; converged = (iter, resmag) or None.
+    """
+    name = ("telescoping_2d_laplace_Mgrid.cpp" if variant == "main"
+            else "telescoping_2d_laplace_Mgrid_singleinterpolation.cpp")
+    with open(os.path.join(REF_GEN2_DIR, name)) as f:
+        src = f.read()
+    src = re.sub(r"res_threshold=1\.0e-13;", f"res_threshold={threshold!r};",
+                 src)
+    src = re.sub(r"int max_iters=5000;", f"int max_iters={max_iters};", src)
+    if variant == "single":
+        src = src.replace("t_flag=0;", f"t_flag={t_flag};")
+        src = src.replace("int nn=1;", f"int nn={n_single};")
+
+    with tempfile.TemporaryDirectory() as td:
+        cpp = os.path.join(td, "gen2.cpp")
+        exe = os.path.join(td, "gen2")
+        with open(cpp, "w") as f:
+            f.write(src)
+        subprocess.run(["g++", "-O2", cpp, "-o", exe, "-lm"], check=True,
+                       capture_output=True)
+        argv = [exe, str(L), repr(m), str(nlevels), str(num_iters)]
+        if variant == "main":       # 'single' takes only 4 args
+            argv.append(str(t_flag))
+        r = subprocess.run(argv, capture_output=True, text=True,
+                           timeout=timeout, cwd=td)
+    hist = []
+    converged = None
+    for line in r.stdout.splitlines():
+        mm = re.search(r"At iteration (\d+), the mag residue is "
+                       r"([\d.eE+-]+|nan|inf)", line)
+        if mm:
+            hist.append((int(mm.group(1)), float(mm.group(2))))
+        mm = re.search(r"Loop breaks at iteration (\d+) with residue "
+                       r"([\d.eE+-]+)", line)
+        if mm:
+            converged = (int(mm.group(1)), float(mm.group(2)))
+    return hist, converged
+
+
 def run_final_gen(L: int, num_iters: int, block: int, m: float,
                   nlevels: int, t_flag: int, n_copies: int,
                   stencil: str = "wilson", gen_null: int = 1,

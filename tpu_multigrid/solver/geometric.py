@@ -139,6 +139,141 @@ def geo_vcycle(phis: Tuple, b, cfg: GeoConfig) -> Tuple:
     return tuple(phis)
 
 
+# --- Generation 2: geometric NON-TELESCOPING prototype ---------------------
+#
+# code/2_scalar_2d_nontelescoping/telescoping_2d_laplace_Mgrid.cpp — the
+# reference's first NTL program: same geometric Laplace operator as gen 1
+# (m enters squared; a doubles per level) but with quadrant-offset
+# restriction/interpolation (f_projection/f_interpolate, :74-143) and, at
+# the coarsest transition, 4 independent quadrant projections whose relaxed
+# copies are recombined by plain averaging (:296-313) — the precursor of
+# the final generation's min-res NTL recombination.
+
+
+@dataclasses.dataclass(frozen=True)
+class Geo2Config(GeoConfig):
+    """Gen-2 program parameters; defaults = its hardcoded values
+    (telescoping_2d_laplace_Mgrid.cpp:186-276 — argv: L m nlevels
+    num_iters t_flag; gs_flag=1, n_copies=2, quad=1, threshold 1e-13,
+    max_iters 5000)."""
+    L: int = 256
+    m: float = 0.002
+    nlevels: int = 6
+    num_iters: int = 20
+    max_iters: int = 5000
+    res_threshold: float = 1.0e-13
+    smoother: str = "gs_lex"   # reference gs_flag=1; 'rbgs' = TPU mode
+    t_flag: bool = True        # non-telescoping bottom level
+    n_copies: int = 2          # hardcoded at :266
+    quad: int = 1              # telescoping-path quadrant (:269)
+    # 'divide': main program — interpolate each copy with its own
+    #   quadrant, then divide the WHOLE fine field by n_copies (:305-313).
+    # 'single': the _singleinterpolation variant — average the relaxed
+    #   copies (committed nn=1: copy 0 only) into the coarse phi and
+    #   interpolate ONCE with the telescoping quadrant (:299-320 there).
+    combine: str = "divide"
+    n_single: int = 1          # 'single' variant's nn (:311 there)
+
+
+def quad_restrict(rt, quad: int):
+    """Quadrant-offset 4-point average (f_projection, :74-110): coarse
+    (x,y) averages fine sites {2x,2x+sx} x {2y,2y+sy} — i.e. the plain 2x2
+    block average in that quadrant's block frame (same QUAD_OFFSETS
+    geometry as the adaptive path; blocking is always a roll, never index
+    math)."""
+    from ..ops.transfer import to_block_frame
+    return geo_restrict(to_block_frame(rt, quad))
+
+
+def quad_prolong(coarse, quad: int):
+    """Adjoint quadrant-offset constant injection (f_interpolate, :112-143)."""
+    from ..ops.transfer import from_block_frame
+    return from_block_frame(geo_prolong(coarse), quad)
+
+
+def geo2_vcycle(phis: Tuple, b, cfg: Geo2Config) -> Tuple:
+    """One gen-2 cycle (telescoping_2d_laplace_Mgrid.cpp:277-316).
+
+    Differences from the gen-1 cycle: quadrant-aware transfers; the
+    coarsest level IS relaxed on the way up (gen-1 never smooths it); with
+    t_flag, the coarsest residual is projected 4 independent ways and the
+    relaxed copies are recombined by averaging."""
+    n = cfg.nlevels
+    phis = list(phis)
+    rs = [b] + [None] * n
+    r_tel = None
+    for l in range(n):
+        phis[l] = geo_smooth(phis[l], rs[l], l, cfg.num_iters, cfg)
+        rt = geo_residual(phis[l], rs[l], l, cfg)
+        if l == n - 1 and cfg.t_flag:
+            # project 4 independent ways (:283-285; always all 4, even
+            # when only n_copies are used on the way up)
+            r_tel = [quad_restrict(rt, q) for q in (1, 2, 3, 4)]
+        else:
+            rs[l + 1] = quad_restrict(rt, cfg.quad)
+            phis[l + 1] = jnp.zeros_like(phis[l + 1])
+    if cfg.t_flag and n > 0:
+        zc = jnp.zeros_like(phis[n])   # phi_tel reset every cycle (:301)
+        if cfg.combine == "divide":
+            for i in range(cfg.n_copies):
+                pt = geo_smooth(zc, r_tel[i], n, cfg.num_iters, cfg)
+                phis[n - 1] = phis[n - 1] + quad_prolong(pt, i + 1)
+            # reference quirk preserved: the division by n_copies hits the
+            # ENTIRE fine field, including its pre-interpolation content
+            # (:311-313) — not phi += mean(corrections)
+            phis[n - 1] = phis[n - 1] / cfg.n_copies
+        else:   # 'single'
+            acc = jnp.zeros_like(phis[n])
+            for i in range(cfg.n_single):
+                pt = geo_smooth(zc, r_tel[i], n, cfg.num_iters, cfg)
+                acc = acc + pt / cfg.n_single
+            phis[n - 1] = phis[n - 1] + quad_prolong(acc, cfg.quad)
+    elif n > 0:
+        phis[n] = geo_smooth(phis[n], rs[n], n, cfg.num_iters, cfg)
+        phis[n - 1] = phis[n - 1] + quad_prolong(phis[n], cfg.quad)
+        phis[n] = jnp.zeros_like(phis[n])
+    for l in range(n - 1, -1, -1):
+        phis[l] = geo_smooth(phis[l], rs[l], l, cfg.num_iters, cfg)
+        if l > 0:
+            phis[l - 1] = phis[l - 1] + quad_prolong(phis[l], cfg.quad)
+            phis[l] = jnp.zeros_like(phis[l])
+    return tuple(phis)
+
+
+def geo2_source(cfg: Geo2Config):
+    """Center point source r[L/2 + (L/2)L] = 1.0 * scale[0] (:263)."""
+    b = jnp.zeros((cfg.L, cfg.L), cfg.rdtype)
+    return b.at[cfg.L // 2, cfg.L // 2].set(cfg.scales[0])
+
+
+def geo2_solve(b, cfg: Geo2Config, max_iters: Optional[int] = None,
+               chunk: int = 5):
+    """Chunked outer loop (:271-329); returns (phi, iters, resmag, history).
+    history[k] = sum|r| after k+1 cycles."""
+    from ..utils.compile import aot_call
+    max_iters = max_iters or cfg.max_iters
+    phis = tuple(jnp.zeros((s, s), cfg.rdtype) for s in cfg.sizes)
+
+    def run_chunk(phis, b):
+        def body(_, phis):
+            return geo2_vcycle(phis, b, cfg)
+        phis = jax.lax.fori_loop(0, chunk, body, phis)
+        return phis, geo_residue_l1(phis[0], b, cfg)
+
+    it = 0
+    hist = []
+    resmag = float("inf")
+    while it < max_iters:
+        phis, res = aot_call(run_chunk, phis, b, key=("geo2", cfg, chunk))
+        it += chunk
+        resmag = float(res)
+        hist.append(resmag)
+        if resmag < cfg.res_threshold or resmag > 1e6 \
+                or not np.isfinite(resmag):
+            break
+    return np.asarray(phis[0]), it, resmag, np.asarray(hist)
+
+
 def geo_source(cfg: GeoConfig):
     """Reference sources (2D_laplace_Mgrid.cpp:163)."""
     b = jnp.zeros((cfg.L, cfg.L), cfg.rdtype)
