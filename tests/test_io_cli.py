@@ -143,3 +143,21 @@ def test_cli_resume_solve(tmp_path):
     rc2 = cli.main(args)   # resumes from the saved state
     s2 = json.loads((tmp_path / "solve_summary.json").read_text())
     assert s2["resmag"] <= s1["resmag"]
+
+
+def test_cli_geometric_modes(tmp_path):
+    from tpu_multigrid import cli
+    rc = cli.main(["--mode", "geo2", "--ntl", "--L", "16", "--m", "0.5",
+                   "--nlevels", "2", "--num-iters", "4",
+                   "--res-threshold", "1e-10", "--max-iters", "100",
+                   "--out-dir", str(tmp_path)])
+    assert rc == 0
+    import json
+    summary = json.loads((tmp_path / "solve_summary.json").read_text())
+    assert summary["mode"] == "geo2" and summary["converged"]
+    assert summary["res_l1"] < 1e-10
+    rc = cli.main(["--mode", "geo", "--L", "16", "--m", "0.5",
+                   "--nlevels", "2", "--num-iters", "4",
+                   "--res-threshold", "1e-10", "--max-iters", "100",
+                   "--out-dir", str(tmp_path)])
+    assert rc == 0

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tpu_multigrid",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--mode", choices=["adaptive", "geo", "geo2"],
+                   default="adaptive",
+                   help="adaptive: final-generation program (default); "
+                        "geo: gen-1 geometric MG (2D_laplace_Mgrid.cpp); "
+                        "geo2: gen-2 geometric non-telescoping prototype "
+                        "(--ntl sets its t_flag, --ntl-combine avg_coarse "
+                        "selects the single-interpolation variant)")
     p.add_argument("--L", type=int, default=64)
     p.add_argument("--stencil", choices=["laplace", "wilson"],
                    default="wilson")
@@ -111,9 +119,54 @@ def parse_args(argv):
     return cfg, ns
 
 
+def _run_geometric(ns) -> int:
+    """gen-1 / gen-2 geometric program path (real scalar, no gauge, no
+    hierarchy; sum|r| norm)."""
+    import jax
+    if ns.platform:
+        jax.config.update("jax_platforms", ns.platform)
+    jax.config.update("jax_enable_x64", True)  # sum|r| thresholds need f64
+    from .solver import geometric as geo
+
+    if ns.mode == "geo":
+        cfg = geo.GeoConfig(L=ns.L, m=ns.m, nlevels=ns.nlevels,
+                            num_iters=ns.num_iters,
+                            res_threshold=ns.res_threshold,
+                            smoother=ns.smoother)
+        b = geo.geo_source(cfg)
+        solve = geo.geo_solve
+    else:
+        combine = "single" if ns.ntl_combine == "avg_coarse" else "divide"
+        cfg = geo.Geo2Config(L=ns.L, m=ns.m, nlevels=ns.nlevels,
+                             num_iters=ns.num_iters,
+                             res_threshold=ns.res_threshold,
+                             smoother=ns.smoother, t_flag=ns.ntl,
+                             n_copies=min(ns.n_copies, 4), quad=ns.quad,
+                             combine=combine)
+        b = geo.geo2_source(cfg)
+        solve = geo.geo2_solve
+    print(f"mode={ns.mode} L={cfg.L} m={cfg.m} nlevels={cfg.nlevels} "
+          f"num_iters={cfg.num_iters} smoother={cfg.smoother}")
+    t0 = time.time()
+    phi, iters, res, hist = solve(b, cfg, max_iters=ns.max_iters)
+    dt = time.time() - t0
+    converged = res < cfg.res_threshold
+    status = "converged" if converged else "NOT converged"
+    print(f"{status} in {iters} cycles, sum|r| = {res:.3e}, {dt:.1f}s")
+    os.makedirs(ns.out_dir, exist_ok=True)
+    with open(f"{ns.out_dir}/solve_summary.json", "w") as f:
+        json.dump({"mode": ns.mode, "L": cfg.L, "m": cfg.m,
+                   "nlevels": cfg.nlevels, "iters": iters,
+                   "res_l1": res, "converged": bool(converged),
+                   "seconds": dt, "history": list(map(float, hist))}, f)
+    return 0 if converged else 1
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     cfg, ns = parse_args(argv)
+    if getattr(ns, "mode", "adaptive") != "adaptive":
+        return _run_geometric(ns)
 
     import jax
     if ns.platform:
