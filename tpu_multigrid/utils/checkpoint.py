@@ -66,6 +66,49 @@ def load_solver_state(path: str, cfg: MGConfig) -> Tuple[Hierarchy, tuple,
             int(meta["iter"]), float(meta["resmag"]))
 
 
+def _state_pytree(hier: Hierarchy, phis, it: int, resmag: float):
+    return {"levels": [{"D": lev.D, "D0inv": lev.D0inv,
+                        "phi_null": lev.phi_null}
+                       for lev in hier.levels],
+            "ntl": (None if hier.ntl is None else
+                    {"phi_null": hier.ntl.phi_null, "D": hier.ntl.D,
+                     "D0inv": hier.ntl.D0inv}),
+            "phis": list(phis),
+            "iter": it, "resmag": resmag}
+
+
+def save_solver_state_orbax(path: str, hier: Hierarchy, phis, it: int,
+                            resmag: float):
+    """TPU-native checkpoint via orbax: arrays are written per-shard with
+    their shardings, so a hierarchy living distributed on a device mesh
+    (parallel/sharded.py) checkpoints without gathering to host — the
+    multi-host analog of the reference's near-null text checkpoint
+    (modules_main.h:39-79). `path` is a directory (created fresh)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               _state_pytree(hier, phis, it, resmag), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_solver_state_orbax(path: str, hier_like: Hierarchy, phis_like
+                            ) -> Tuple[Hierarchy, tuple, int, float]:
+    """Restore an orbax solver-state checkpoint. `hier_like`/`phis_like`
+    provide the target structure (shapes, dtypes AND shardings — restored
+    arrays land directly on the same mesh layout)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    target = _state_pytree(hier_like, phis_like, 0, 0.0)
+    st = ckptr.restore(os.path.abspath(path), target)
+    levels = tuple(LevelOps(D=d["D"], D0inv=d["D0inv"],
+                            phi_null=d["phi_null"]) for d in st["levels"])
+    ntl = (None if st["ntl"] is None else
+           NTLOps(phi_null=st["ntl"]["phi_null"], D=st["ntl"]["D"],
+                  D0inv=st["ntl"]["D0inv"]))
+    return (Hierarchy(levels=levels, ntl=ntl), tuple(st["phis"]),
+            int(st["iter"]), float(st["resmag"]))
+
+
 def solve_resumable(hier, b, cfg: MGConfig, path: str,
                     checkpoint_every: int = 50,
                     max_iters: Optional[int] = None):
