@@ -161,3 +161,44 @@ def test_cli_geometric_modes(tmp_path):
                    "--res-threshold", "1e-10", "--max-iters", "100",
                    "--out-dir", str(tmp_path)])
     assert rc == 0
+
+
+def test_fmt_byte_parity_with_reference(tmp_path, rng):
+    """Our _fmt_c must be byte-identical to the reference's
+    %25.20e+i%25.20e printf (modules_main.h:65-79, level.h:288-300).
+    Compile a one-line C probe using that exact format spec and diff."""
+    import subprocess
+    vals = np.concatenate([
+        rng.normal(size=16), -rng.normal(size=16),
+        [0.0, -0.0, 1e-300, -1e-300, 1e300, 5.0, -3.14159e-7]])
+    zs = vals[: len(vals) // 2 * 2].reshape(-1, 2)
+    src = tmp_path / "probe.c"
+    src.write_text(
+        '#include <stdio.h>\n#include <stdlib.h>\n'
+        'int main(int c, char**v){\n'
+        '  for (int i = 1; i + 1 < c; i += 2)\n'
+        '    printf("%25.20e+i%25.20e\\n", atof(v[i]), atof(v[i+1]));\n'
+        '  return 0;\n}\n')
+    exe = tmp_path / "probe"
+    subprocess.run(["gcc", "-O0", str(src), "-o", str(exe)], check=True)
+    argv = [str(exe)] + [repr(float(x)) for x in zs.reshape(-1)]
+    ref_lines = subprocess.run(argv, capture_output=True, text=True,
+                               check=True).stdout.splitlines()
+    ours = [mio._fmt_c(complex(a, b)) for a, b in zs]
+    assert ours == ref_lines
+
+
+def test_native_text_writer_matches_python(tmp_path, rng):
+    """native.write_complex_text and the Python fallback must emit
+    byte-identical files (both the reference %25.20e+i%25.20e format)."""
+    from tpu_multigrid.utils import native
+    if not native.available():
+        pytest.skip("native lib not built")
+    vals = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(complex)
+    p_native = tmp_path / "n.txt"
+    native.write_complex_text(str(p_native), vals)
+    p_py = tmp_path / "p.txt"
+    with open(p_py, "w") as f:
+        for z in vals:
+            f.write(mio._fmt_c(z) + "\n")
+    assert p_native.read_bytes() == p_py.read_bytes()

