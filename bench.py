@@ -91,6 +91,34 @@ def device_peak_bw():
 _PARTIAL_PATH = None    # set in phase children: incremental results land
                         # here after every successful path measurement
 
+# Successful TPU measurements persist across bench invocations: the relay
+# has multi-hour bad windows, so a rung landed during a healthy window
+# (e.g. by scripts/tpu_when_healthy.py earlier in the day) must not be
+# thrown away just because the driver's bench run hits a bad window.
+RUNG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_rungs")
+
+
+def _save_rung(phase: str, result: dict):
+    if "error" in result:
+        return
+    os.makedirs(RUNG_DIR, exist_ok=True)
+    rec = dict(result)
+    rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    rec["phase"] = phase
+    tmp = os.path.join(RUNG_DIR, f"{phase}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=1, default=float)
+    os.replace(tmp, os.path.join(RUNG_DIR, f"{phase}.json"))
+
+
+def _load_rung(phase: str):
+    try:
+        with open(os.path.join(RUNG_DIR, f"{phase}.json")) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
 
 def _write_partial(result: dict):
     if not _PARTIAL_PATH:
@@ -175,11 +203,18 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
             try:
                 # perturb program content on retry (fresh compile)
                 dt = time_op(f, *args, reps=reps + attempt)
-                min_dt = nbytes / (1.5 * peak)  # faster than SoL = bogus
+                # physical sanity gate: a streaming working set (> 1.5x
+                # VMEM) cannot beat the HBM roofline — fraction > 1.0 means
+                # the timing (or the relay) lied, so reject it outright
+                # (round-1 recorded an impossible 1.94 fraction; never
+                # again). VMEM-resident sets may legitimately exceed
+                # nominal HBM BW; cap those at the arch's VMEM advantage.
+                streaming = nbytes > int(1.5 * 16 * 1024 * 1024)
+                min_dt = nbytes / peak if streaming else nbytes / (30 * peak)
                 if dt < min_dt:
                     raise RuntimeError(
                         f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"
-                        " relay did not execute the program")
+                        " bogus timing or relay did not run the program")
                 times[name] = dt
                 errs.pop(name, None)
                 if on_partial:
@@ -230,7 +265,7 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
     for attempt in range(tries):
         try:
             dt = time_op(jax.vmap(apply_D), D, v, reps=reps + attempt)
-            if dt < nbytes / (1.5 * peak):
+            if dt < nbytes / peak:   # streaming: roofline fraction <= 1.0
                 raise RuntimeError("implausibly fast: relay did not run it")
             times["xla_batch"] = dt
             if on_partial:
@@ -521,12 +556,14 @@ def _run_phase_subprocess(phase: str, tries: int = 3,
             with open(out_file) as f:
                 r = json.load(f)
                 r["phase_seconds"] = time.time() - t_start
+                _save_rung(phase, r)
                 return r
         stderr = err[-500:]
         partial = _read_partial(phase)
         if partial is not None:
             partial["phase_seconds"] = time.time() - t_start
             partial["note"] = f"partial (child rc={rc} after some paths)"
+            _save_rung(phase, partial)
             return partial
         if attempt >= tries:
             break           # no retry follows: skip the canary wait
@@ -591,10 +628,19 @@ _HEADLINE_PHASES = ("stencil_stream", "stencil_batch",
 _CPU_PHASES = {"mg_vs_mr"}
 
 
-def _best_partial():
+def _best_partial(include_cached: bool = False):
     """Best incremental headline candidate: honest streaming measurements
-    beat VMEM-resident ones; then by achieved fraction."""
+    beat VMEM-resident ones; then by achieved fraction. With
+    include_cached, fall back to rungs persisted by earlier invocations
+    (same chip, canary-gated healthy windows) when this run measured
+    nothing — marked as cached so the provenance is explicit."""
     cands = [p for p in map(_read_partial, _HEADLINE_PHASES) if p]
+    if not cands and include_cached:
+        for ph in _HEADLINE_PHASES:
+            r = _load_rung(ph)
+            if r and "nnz_per_s" in r:
+                r["cached"] = True
+                cands.append(r)
     if not cands:
         return None
     return max(cands, key=lambda r: (
@@ -620,7 +666,7 @@ def _watchdog():
                 _CHILD.kill()
             except Exception:
                 pass
-    _print_headline(_best_partial())
+    _print_headline(_best_partial(include_cached=True))
     sys.stdout.flush()
     os._exit(0)
 
@@ -641,6 +687,7 @@ def main():
             sys.exit(1)
         with open(out, "w") as f:
             json.dump(result, f, default=float)
+        _save_rung(phase, result)   # persist across invocations
         return
 
     for stale in ([f"/tmp/bench_phase_{ph}.json.partial"
@@ -653,7 +700,21 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     details = {"budget_s": BUDGET_S, "print_deadline_s": PRINT_DEADLINE_S}
 
-    # Headline first; print its line the moment a rung lands. Each rung
+    # Gate the TPU budget on a canary pass: in a relay bad window every
+    # phase attempt is guaranteed dead budget (round 2 burned all 900 s
+    # on UNIMPLEMENTED). Poll the tiny-program probe; only start TPU
+    # rungs once it passes. If it never does, cached rungs from earlier
+    # healthy-window invocations (bench_rungs/) carry the headline.
+    canary_deadline = time.time() + min(300.0, 0.35 * BUDGET_S)
+    tpu_healthy = False
+    while time.time() < canary_deadline:
+        if _canary_ok(timeout_s=min(150, max(30, _remaining() - 200))):
+            tpu_healthy = True
+            break
+        time.sleep(15)
+    details["canary_healthy"] = tpu_healthy
+
+    # Headline next; print its line the moment a rung lands. Each rung
     # runs in a fresh child (one relay failure can poison a process);
     # smaller lattices are more likely to survive a shaky relay, and the
     # 768/512 rungs are still honest measurements (768 streams; 512 is
@@ -662,7 +723,7 @@ def main():
     # every L>=512 program UNIMPLEMENTED) — any real nnz/s measurement
     # beats the 0.0 fallback.
     stream = None
-    for lap in range(3):
+    for lap in range(3 if tpu_healthy else 0):
         for rung in _HEADLINE_PHASES:
             if _remaining() < 300:
                 break
@@ -689,25 +750,37 @@ def main():
     # or the budget edge)
     _write_details(details)
 
-    # Detail phases: opportunistic, budget-gated.
+    # Detail phases: opportunistic, budget-gated; a fresh failure falls
+    # back to the rung persisted by an earlier healthy-window invocation.
     for key, phase in [("stencil_resident_256", "stencil"),
                        ("mg_vs_mr", "mg_vs_mr"),
                        ("solve256", "solve256"),
                        ("geo2048", "geo2048")]:
         if key in details:
             continue
-        if _remaining() < 200:
-            details[key] = {"skipped": "budget exhausted"}
+        skip_tpu = not tpu_healthy and phase not in _CPU_PHASES
+        if _remaining() < 200 or skip_tpu:
+            r = _load_rung(phase)
+            if r is not None:
+                r["cached"] = True
+                details[key] = r
+            else:
+                details[key] = {"skipped": ("relay unhealthy" if skip_tpu
+                                            else "budget exhausted")}
             _write_details(details)
             continue
-        details[key] = _run_phase_subprocess(phase, tries=2)
+        r = _run_phase_subprocess(phase, tries=2)
+        if "error" in r and _load_rung(phase) is not None:
+            r = _load_rung(phase)
+            r["cached"] = True
+        details[key] = r
         _write_details(details)
     if _REF_GEN1_CPU:
         details["geo2048"]["reference_cpu"] = _REF_GEN1_CPU
         _write_details(details)
     # all phases done early (e.g. every attempt failed fast): never exit
     # without the one line
-    _print_headline(_best_partial())
+    _print_headline(_best_partial(include_cached=True))
 
 
 if __name__ == "__main__":

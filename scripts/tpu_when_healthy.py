@@ -125,18 +125,27 @@ def run_sub(code_or_args, timeout, is_code=True):
 def main():
     deadline = time.time() + float(os.environ.get("TPU_HEALTH_BUDGET",
                                                   7200))
+    def bench_phase(name, tmo):
+        # bench.py --phase persists successful results to bench_rungs/
+        # (cross-invocation cache the driver's bench run can fall back on)
+        return (["bench.py", "--phase", name, "--out",
+                 f"/tmp/bench_phase_{name}.json"],
+                os.path.join("/root/repo/bench_rungs", f"{name}.json"), tmo)
+
     tasks = {
+        # round-3 evidence items first (VERDICT tasks 2-4): an honest
+        # streaming roofline number, the end-to-end flagship solve, and
+        # the reference-scale gen-1 run
+        "stencil_stream": bench_phase("stencil_stream", 1200),
+        "stencil_batch": bench_phase("stencil_batch", 900),
+        "stencil_stream_768": bench_phase("stencil_stream_768", 900),
+        "stencil_stream_512": bench_phase("stencil_stream_512", 900),
+        "stencil": bench_phase("stencil", 900),
+        "solve256": bench_phase("solve256", 1500),
+        "geo2048": bench_phase("geo2048", 1800),
+        "mg_vs_mr": bench_phase("mg_vs_mr", 1200),
         "pallas": (["scripts/pallas_bench_loop.py"], "/tmp/pallas_bench.json",
                    1200),
-        "mg_vs_mr": (["bench.py", "--phase", "mg_vs_mr", "--out",
-                      "/tmp/bench_phase_mg_vs_mr.json"],
-                     "/tmp/bench_phase_mg_vs_mr.json", 1200),
-        "stencil_stream": (["bench.py", "--phase", "stencil_stream",
-                            "--out", "/tmp/bench_phase_stencil_stream.json"],
-                           "/tmp/bench_phase_stencil_stream.json", 1200),
-        "geo2048": (["bench.py", "--phase", "geo2048", "--out",
-                     "/tmp/bench_phase_geo2048.json"],
-                    "/tmp/bench_phase_geo2048.json", 1800),
         "entry": (ENTRY, "/tmp/entry_check.json", 900),
         "solve64": (SOLVE64, "/tmp/solve64_check.json", 1500),
         "tiled": (TILED, "/tmp/tiled_check.json", 1200),
