@@ -65,3 +65,21 @@ def test_geo_spacing_scales():
     assert cfg.spacings == (1.0, 2.0, 4.0, 8.0)
     np.testing.assert_allclose(
         cfg.scales[2], 1.0 / (4.0 + 0.1 ** 2 * 16.0))
+
+
+def test_geo_solve_ir_matches_f64():
+    """Mixed-precision defect correction (f32 V-cycles, f64 outer loop)
+    contracts like the pure-f64 solve and reaches the same solution well
+    below the f32 floor (the TPU-native gen-1 mode; bench geo2048)."""
+    import numpy as np
+    from tpu_multigrid.solver.geometric import (GeoConfig, geo_source,
+                                                geo_solve, geo_solve_ir)
+    cfg = GeoConfig(L=64, m=0.064, nlevels=4, res_threshold=1e-10,
+                    max_iters=30)
+    b = geo_source(cfg)
+    phi64, it64, res64, _ = geo_solve(b, cfg, chunk=2)
+    phi_ir, it_ir, res_ir, _ = geo_solve_ir(b, cfg, chunk=2)
+    assert res_ir < 1e-10          # far below the f32 sum|r| floor (~1e-3)
+    assert it_ir <= it64 + 4       # same contraction regime
+    np.testing.assert_allclose(phi_ir, phi64, rtol=0, atol=1e-11 *
+                               np.max(np.abs(phi64)))

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "geo2: gen-2 geometric non-telescoping prototype "
                         "(--ntl sets its t_flag, --ntl-combine avg_coarse "
                         "selects the single-interpolation variant)")
+    p.add_argument("--geo-ir", action="store_true", dest="geo_ir",
+                   help="geo mode: mixed-precision solve (f32 V-cycles "
+                        "inside an f64 defect-correction loop — the "
+                        "TPU-native form; f64 is emulated on TPU)")
     p.add_argument("--L", type=int, default=64)
     p.add_argument("--stencil", choices=["laplace", "wilson"],
                    default="wilson")
@@ -134,7 +138,9 @@ def _run_geometric(ns) -> int:
                             res_threshold=ns.res_threshold,
                             smoother=ns.smoother)
         b = geo.geo_source(cfg)
-        solve = geo.geo_solve
+        # mixed-precision defect correction: f32 V-cycles, f64 outer loop
+        # (the TPU-native mode; f64 is emulated on TPU)
+        solve = geo.geo_solve_ir if ns.geo_ir else geo.geo_solve
     else:
         combine = "single" if ns.ntl_combine == "avg_coarse" else "divide"
         cfg = geo.Geo2Config(L=ns.L, m=ns.m, nlevels=ns.nlevels,

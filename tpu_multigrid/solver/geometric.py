@@ -274,6 +274,60 @@ def geo2_solve(b, cfg: Geo2Config, max_iters: Optional[int] = None,
     return np.asarray(phis[0]), it, resmag, np.asarray(hist)
 
 
+def geo_solve_ir(b, cfg: GeoConfig, max_iters: Optional[int] = None,
+                 chunk: int = 2, inner_cycles: int = 1):
+    """Mixed-precision geometric solve: f32 V-cycles as the error solver
+    inside an f64 defect-correction (iterative-refinement) outer loop.
+
+    TPU rationale: f64 is software-emulated on TPU (slow), but the
+    reference's gen-1 thresholds (sum|r| at 2048^2) sit near the f64
+    rounding floor. Defect correction reaches f64-level residuals while
+    doing ~all the work (num_iters smoother sweeps x nlevels per cycle)
+    in fast f32: per outer iteration only ONE f64 residual + one f64 axpy
+    runs at level 0. Same contraction per cycle as geo_solve once above
+    the f32 floor; the f64 outer loop then keeps contracting below it.
+
+    Returns (phi[f64], iters, resmag, history) like geo_solve.
+    """
+    import dataclasses as _dc
+    from ..utils.compile import aot_call
+    max_iters = max_iters or cfg.max_iters
+    cfg32 = _dc.replace(cfg, dtype="float32")
+    b64 = jnp.asarray(b, jnp.float64)
+    phi0 = jnp.zeros((cfg.L, cfg.L), jnp.float64)
+
+    def run_chunk(phi, b64):
+        def outer(_, phi):
+            r64 = geo_residual(phi, b64, 0, cfg)
+            e_phis = tuple(jnp.zeros((s, s), jnp.float32)
+                           for s in cfg.sizes)
+            r32 = r64.astype(jnp.float32)
+
+            def inner(_, e_phis):
+                return geo_vcycle(e_phis, r32, cfg32)
+
+            e_phis = jax.lax.fori_loop(0, inner_cycles, inner, e_phis)
+            return phi + e_phis[0].astype(jnp.float64)
+
+        phi = jax.lax.fori_loop(0, chunk, outer, phi)
+        return phi, geo_residue_l1(phi, b64, cfg)
+
+    it = 0
+    hist = []
+    resmag = float("inf")
+    phi = phi0
+    while it < max_iters:
+        phi, res = aot_call(run_chunk, phi, b64,
+                            key=("geo_ir", cfg, chunk, inner_cycles))
+        it += chunk * inner_cycles
+        resmag = float(res)
+        hist.append(resmag)
+        if resmag < cfg.res_threshold or resmag > 1e6 \
+                or not np.isfinite(resmag):
+            break
+    return np.asarray(phi), it, resmag, np.asarray(hist)
+
+
 def geo_source(cfg: GeoConfig):
     """Reference sources (2D_laplace_Mgrid.cpp:163)."""
     b = jnp.zeros((cfg.L, cfg.L), cfg.rdtype)
