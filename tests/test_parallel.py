@@ -180,3 +180,33 @@ def test_sharded_smoother_downgrade_warns():
         warnings.simplefilter("always")
         sharded.make_sharded_cycle(cfg_ok, mesh)
     assert not any("downgrades" in str(x.message) for x in w)
+
+
+@requires_8
+def test_sharded_chebyshev_matches_single_device(rng):
+    """Chebyshev now runs natively in the sharded cycle (no rbgs
+    downgrade): identical trajectory to the single-device solve."""
+    import warnings
+    from tpu_multigrid.solver import eigs
+    mesh = mesh24()
+    L = 32
+    cfg = MGConfig(L=L, stencil="wilson", m=0.1, nlevels=2, ntl=True,
+                   num_iters=6, null_iters=60, res_threshold=1e-9)
+    U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, L, L)), cfg.cdtype)
+    D = operators.assemble(cfg.stencil, U, cfg.m)
+    hier = build_hierarchy(D, cfg)
+    cfg_ch = eigs.chebyshev_config(cfg, hier)
+    b = point_source(cfg)
+
+    ref = solve(hier, b, cfg_ch, max_iters=100)
+    assert ref.converged
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        solver = sharded.make_sharded_solver(cfg_ch, mesh, max_iters=100)(hier)
+    assert not any("downgrades" in str(x.message) for x in w)
+    hier_s = sharded.shard_hierarchy(hier, cfg_ch, mesh)
+    phis, iters, res = solver(hier_s, zero_fields(cfg_ch), b)
+    assert float(res) < cfg_ch.res_threshold
+    assert int(iters) == ref.iters
+    np.testing.assert_allclose(np.asarray(phis[0]), ref.phi, atol=1e-10)

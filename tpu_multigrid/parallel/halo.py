@@ -125,8 +125,44 @@ def rbgs_sweep_sharded(D, D0inv, phi, r, omega: float = 1.0):
     return phi
 
 
+def chebyshev_smooth_sharded(D, D0inv, phi, r, degree: int, lmin: float,
+                             lmax: float):
+    """Sharded Chebyshev smoother: identical three-term recurrence to
+    ops.smoothers.chebyshev_smooth with the halo-exchange stencil apply —
+    the spectral interval is a static per-level config constant
+    (cfg.cheby_intervals, filled by solver.eigs.chebyshev_config), so no
+    extra collectives are needed beyond the apply's ppermute halos."""
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    def A(v):
+        return jnp.einsum("ijxy,jxy->ixy", D0inv, apply_D_sharded(D, v))
+
+    f = jnp.einsum("ijxy,jxy->ixy", D0inv, r)
+    d = (f - A(phi)) / theta
+    x = phi + d
+    rho0 = jnp.asarray(1.0 / sigma1, phi.real.dtype)
+
+    def body(_, s):
+        x, d, rho_prev = s
+        rho = 1.0 / (2.0 * sigma1 - rho_prev)
+        d = (rho * rho_prev).astype(x.dtype) * d \
+            + (2.0 * rho / delta).astype(x.dtype) * (f - A(x))
+        return x + d, d, rho
+
+    x, _, _ = lax.fori_loop(0, degree - 1, body, (x, d, rho0))
+    return x
+
+
 def smooth_sharded(D, D0inv, phi, r, n_sweeps: int, kind: str,
-                   omega: float = 1.0):
+                   omega: float = 1.0, cheby_interval=None):
+    if kind == "chebyshev":
+        if cheby_interval is None:
+            raise ValueError("chebyshev smoother needs cheby_interval="
+                             "(lmin, lmax); see solver.eigs")
+        return chebyshev_smooth_sharded(D, D0inv, phi, r, n_sweeps,
+                                        *cheby_interval)
     sweep = {"jacobi": jacobi_sweep_sharded,
              "rbgs": rbgs_sweep_sharded}[kind]
 

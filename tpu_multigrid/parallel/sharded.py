@@ -149,11 +149,13 @@ def _quad_roll_sharded(v, quad, fwd: bool):
 def effective_smoother(cfg, warn: bool = False) -> str:
     """The smoother the distributed cycle actually runs.
 
-    gs_lex (host-sequential wavefront) and chebyshev (needs spectral
-    intervals) are single-device features: the distributed cycle maps
-    them to rbgs, the same-smoothing-factor parallel ordering — the
-    iteration trajectory therefore differs from the single-device run."""
-    if cfg.smoother in ("jacobi", "rbgs"):
+    gs_lex (host-sequential wavefront ordering) is inherently
+    single-device: the distributed cycle maps it to rbgs, the
+    same-smoothing-factor parallel ordering — the iteration trajectory
+    therefore differs from the single-device run. jacobi/rbgs/chebyshev
+    run natively sharded (chebyshev's spectral intervals are static
+    config constants, so only the apply's halos communicate)."""
+    if cfg.smoother in ("jacobi", "rbgs", "chebyshev"):
         return cfg.smoother
     if warn:
         import warnings
@@ -164,12 +166,19 @@ def effective_smoother(cfg, warn: bool = False) -> str:
     return "rbgs"
 
 
-def _relax(lev, phi, r, cfg, sharded: bool):
+def _cheby_interval(cfg, lvl: int):
+    return (cfg.cheby_intervals[lvl]
+            if effective_smoother(cfg) == "chebyshev" else None)
+
+
+def _relax(lev, phi, r, cfg, sharded: bool, lvl: int):
     kind = effective_smoother(cfg)
+    ci = _cheby_interval(cfg, lvl)
     if sharded:
         return smooth_sharded(lev.D, lev.D0inv, phi, r, cfg.num_iters,
-                              kind, cfg.omega)
-    return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, kind, cfg.omega)
+                              kind, cfg.omega, cheby_interval=ci)
+    return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, kind, cfg.omega,
+                  cheby_interval=ci)
 
 
 def _min_res_weights_sharded(D_f, r_f, xs_list, cfg):
@@ -210,7 +219,8 @@ def _ntl_coarse_solves_submesh(ntl, r_q, phi_shape, cfg: MGConfig,
     r_me = jnp.take(jnp.stack(r_q), my_copy, axis=0)
     kind = effective_smoother(cfg)
     phi_me = smooth(D_me, Dinv_me, jnp.zeros(phi_shape, r_me.dtype), r_me,
-                    cfg.num_iters, kind, cfg.omega)
+                    cfg.num_iters, kind, cfg.omega,
+                    cheby_interval=_cheby_interval(cfg, cfg.nlevels))
 
     # number of devices assigned to each copy (static)
     counts = jnp.asarray([max(1, len([d for d in range(n_dev)
@@ -261,14 +271,14 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
         down_end = (n - 1) if ntl_on else n
 
         for l in range(down_end):
-            phis[l] = _relax(L[l], phis[l], rs[l], cfg, sh[l])
+            phis[l] = _relax(L[l], phis[l], rs[l], cfg, sh[l], l)
             res = residual_of(L[l], phis[l], rs[l], l)
             rs[l + 1] = restrict_step(L[l].phi_null, res, cfg.quad, l)
             phis[l + 1] = jnp.zeros_like(phis[l + 1])
 
         if ntl_on:
             l = n - 1
-            phis[l] = _relax(L[l], phis[l], rs[l], cfg, sh[l])
+            phis[l] = _relax(L[l], phis[l], rs[l], cfg, sh[l], l)
             res = residual_of(L[l], phis[l], rs[l], l)
             nq = cfg.n_copies
             r_q = [restrict_step(hier.ntl.phi_null[q], res, q + 1, l)
@@ -284,7 +294,8 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
                 relax_q = jax.vmap(
                     lambda D, Dinv, p, r: smooth(
                         D, Dinv, p, r, cfg.num_iters,
-                        effective_smoother(cfg), cfg.omega))
+                        effective_smoother(cfg), cfg.omega,
+                        cheby_interval=_cheby_interval(cfg, cfg.nlevels)))
                 phi_q = relax_q(hier.ntl.D[:nq], hier.ntl.D0inv[:nq],
                                 phi_q0, jnp.stack(r_q))
             combine = cfg.ntl_combine
@@ -313,7 +324,7 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
             up_start = n
 
         for l in range(up_start, -1, -1):
-            phis[l] = _relax(L[l], phis[l], rs[l], cfg, sh[l])
+            phis[l] = _relax(L[l], phis[l], rs[l], cfg, sh[l], l)
             if l > 0:
                 corr = prolong_step(L[l - 1].phi_null, phis[l], cfg.quad,
                                     l - 1)
