@@ -1,0 +1,65 @@
+"""Unit tests for bench.py's cross-invocation rung persistence and
+headline-candidate selection (the round-3 canary-gate/cache harness).
+
+bench.py is a script, but its persistence helpers are pure functions of
+module state — import it with a patched RUNG_DIR and exercise them
+without any TPU.
+"""
+import importlib
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture
+def bench(tmp_path, monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import bench as b
+    importlib.reload(b)
+    monkeypatch.setattr(b, "RUNG_DIR", str(tmp_path / "rungs"))
+    return b
+
+
+def test_rung_roundtrip(bench):
+    bench._save_rung("stencil", {"nnz_per_s": 1e11,
+                                 "roofline_fraction": 0.7})
+    r = bench._load_rung("stencil")
+    assert r["nnz_per_s"] == 1e11
+    assert r["phase"] == "stencil"
+    assert "measured_at" in r
+
+
+def test_save_rung_skips_errors(bench):
+    bench._save_rung("stencil", {"error": "UNIMPLEMENTED"})
+    assert bench._load_rung("stencil") is None
+
+
+def test_best_partial_prefers_streaming_and_cached_fallback(bench):
+    # no fresh partials, no cache -> None
+    assert bench._best_partial() is None
+    assert bench._best_partial(include_cached=True) is None
+    # cached rungs: a streaming rung must beat a higher-fraction
+    # vmem-resident one
+    bench._save_rung("stencil", {"nnz_per_s": 9e11,
+                                 "effective_bw_fraction": 1.4})
+    bench._save_rung("stencil_batch", {"nnz_per_s": 2e11,
+                                       "roofline_fraction": 0.65})
+    assert bench._best_partial() is None          # fresh-only: nothing
+    best = bench._best_partial(include_cached=True)
+    assert best["cached"] is True
+    assert best["roofline_fraction"] == 0.65      # streaming outranks
+
+
+def test_stencil_result_regime_labels(bench):
+    peak = 819e9
+    out = bench._stencil_result(
+        1024, 2, peak, "TPU v5 lite",
+        {"xla": 1e-3}, {"xla": int(200e6)})
+    assert out["regime"] == "hbm_streaming"
+    assert 0 < out["roofline_fraction"] < 1.0
+    out2 = bench._stencil_result(
+        128, 2, peak, "TPU v5 lite",
+        {"xla": 1e-5}, {"xla": int(3e6)})
+    assert out2["regime"] == "vmem_resident"
+    assert "effective_bw_fraction" in out2
