@@ -52,3 +52,24 @@ def test_gen1_trajectory_match(L, m, nl, ni, thr):
     # at the threshold)
     ref_iters = ref_conv[0] + 1  # reference iter is 0-based
     assert abs(iters - ref_iters) <= 1, (iters, ref_iters)
+
+
+@needs_ref
+def test_gen1_trajectory_match_L256():
+    """Reference-scale-closer golden (VERDICT r3 task 4 companion): 256²,
+    6 levels, the reference's own mass scaled to keep m·L at its headline
+    value (0.002·2048). Trajectory match to the reference's 6-digit print
+    precision while residuals are far from the fp plateau."""
+    L, m, nl, ni, thr = 256, 0.016, 6, 20, 1e-10
+    ref_hist, ref_conv = run_gen1(L, m, nl, ni, threshold=thr,
+                                  max_iters=60, timeout=900)
+    mine, iters, res = my_history(L, m, nl, ni, thr, 60)
+    ref_vals = np.array([v for (_, v) in ref_hist])
+    k = min(len(ref_vals), len(mine))
+    assert k >= 3
+    # at 256^2 the per-entry fp summation noise is ~1e-13 absolute, so
+    # 6-digit relative agreement only holds while entries are > ~1e-7
+    sel = ref_vals[:k] > 1e-7
+    assert sel.sum() >= 3
+    np.testing.assert_allclose(np.asarray(mine[:k])[sel],
+                               ref_vals[:k][sel], rtol=5e-6)
