@@ -135,9 +135,14 @@ def _save_rung(phase: str, result: dict):
 def _load_rung(phase: str):
     try:
         with open(os.path.join(RUNG_DIR, f"{phase}.json")) as f:
-            return json.load(f)
+            r = json.load(f)
     except Exception:
         return None
+    # never serve a host-CPU run as a cached accelerator measurement
+    # (CPU-side smoke tests write rungs too; mg_vs_mr is CPU by design)
+    if phase not in _CPU_PHASES and r.get("device_kind") == "cpu":
+        return None
+    return r
 
 
 def _write_partial(result: dict):
@@ -392,6 +397,55 @@ def bench_solve256(tries=2):
     return {"error": err}
 
 
+def bench_ensemble(B=8, L=128, tries=2):
+    """Production 'serving' workload: B independent gauge configurations
+    -> batched adaptive setup + batched fixed-cycle NTL solve as ONE
+    vmapped XLA program (solver/ensemble.py; the reference loops shell
+    jobs per config, 0_submit notebook). Reports configs/s end-to-end and
+    per-phase seconds on the accelerator."""
+    import jax
+    import jax.numpy as jnp
+    import tpu_multigrid as mg
+    from tpu_multigrid.solver import ensemble as ens
+    from tpu_multigrid.ops.stencil import residual_norm_ratio
+
+    cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=2, ntl=True,
+                      num_iters=4, null_iters=60, dtype="complex64",
+                      res_threshold=1e-6, smoother="rbgs")
+    rng = np.random.default_rng(cfg.seed)
+    Us = jnp.stack([mg.models.gauge.gauge_from_phases(
+        0.2 * rng.normal(size=(2, L, L)), cfg.cdtype) for _ in range(B)])
+    b = mg.point_source(cfg)
+    bs = jnp.broadcast_to(b, (B,) + b.shape)
+    err = None
+    for attempt in range(tries):
+        try:
+            t0 = time.perf_counter()
+            hier_b = ens.build_hierarchies_batched(Us, cfg)
+            jax.block_until_ready(hier_b.levels[0].D0inv)
+            t_setup = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            phi, res = ens.solve_ensemble(hier_b, bs, cfg, n_cycles=15)
+            t_cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            phi, res = ens.solve_ensemble(hier_b, bs, cfg, n_cycles=15)
+            t_warm = time.perf_counter() - t0
+            if not np.all(np.isfinite(res)):
+                raise RuntimeError("non-finite ensemble residuals")
+            return {"B": B, "L": L, "dtype": "complex64", "n_cycles": 15,
+                    "max_rel_res": float(np.max(res)),
+                    "all_below_1e-5": bool(np.max(res) < 1e-5),
+                    "setup_seconds": t_setup,
+                    "solve_seconds_cold": t_cold,
+                    "solve_seconds_warm": t_warm,
+                    "configs_per_s_warm": B / t_warm,
+                    "device_kind": jax.devices()[0].device_kind}
+        except Exception as e:
+            err = str(e)[:150]
+            time.sleep(3)
+    return {"error": err}
+
+
 def bench_geo2048(tries=2):
     """The reference's own headline run (gen 1: geometric MG, L=2048,
     m=0.002, 9 levels, 20 sweeps/level — hardcoded at
@@ -421,6 +475,7 @@ def bench_geo2048(tries=2):
             phi, iters2, resmag2, _ = geo_solve_ir(b, cfg, chunk=1)
             t_warm = time.perf_counter() - t0
             return {"L": cfg.L, "nlevels": cfg.nlevels,
+                    "device_kind": jax.devices()[0].device_kind,
                     "solver": "geo_solve_ir (f32 V-cycles, f64 defect)",
                     "target_sum_r": cfg.res_threshold,
                     "cycles_to_1e-8": iters, "final_res_l1": resmag,
@@ -499,6 +554,7 @@ PHASES = {
     "stencil_stream_512": lambda: phase_stencil(L=512, reps=60),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
     "solve256": bench_solve256,
+    "ensemble8": bench_ensemble,
     "geo2048": bench_geo2048,
 }
 

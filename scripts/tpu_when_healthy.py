@@ -143,6 +143,7 @@ def main():
         "stencil": bench_phase("stencil", 900),
         "solve256": bench_phase("solve256", 1500),
         "geo2048": bench_phase("geo2048", 1800),
+        "ensemble8": bench_phase("ensemble8", 1500),
         "mg_vs_mr": bench_phase("mg_vs_mr", 1200),
         "pallas": (["scripts/pallas_bench_loop.py"], "/tmp/pallas_bench.json",
                    1200),

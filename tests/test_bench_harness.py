@@ -63,3 +63,14 @@ def test_stencil_result_regime_labels(bench):
         {"xla": 1e-5}, {"xla": int(3e6)})
     assert out2["regime"] == "vmem_resident"
     assert "effective_bw_fraction" in out2
+
+
+def test_load_rung_rejects_cpu_for_tpu_phases(bench):
+    bench._save_rung("stencil", {"nnz_per_s": 1e11, "device_kind": "cpu"})
+    assert bench._load_rung("stencil") is None
+    bench._save_rung("mg_vs_mr", {"cycle_reduction": 80.0,
+                                  "device_kind": "cpu"})
+    assert bench._load_rung("mg_vs_mr") is not None   # CPU by design
+    bench._save_rung("stencil_batch", {"nnz_per_s": 1e11,
+                                       "device_kind": "TPU v5 lite"})
+    assert bench._load_rung("stencil_batch") is not None
