@@ -13,22 +13,18 @@ import subprocess
 import sys
 import time
 
+# Tiny-program probe: in shaky windows small programs pass while larger
+# compiles fail/hang — but each task child is subprocess-isolated and
+# retried, so ANY responsive window is worth attempting. (The heavier
+# 32^2-smoother probe missed windows the tiny canary would have caught,
+# observed 2026-08-20 ~10:42.) Must FETCH a value: on the axon relay
+# block_until_ready neither synchronizes nor surfaces errors.
 PROBE = r'''
 import jax, jax.numpy as jnp
-import tpu_multigrid as mg
-from tpu_multigrid.ops import stencil
-from tpu_multigrid.ops.smoothers import smooth
-L=32
-cfg = mg.MGConfig(L=L, stencil="wilson", m=0.1, nlevels=1, dtype="complex64")
-D = mg.models.operators.assemble("wilson", mg.models.gauge.identity_gauge(L, cfg.cdtype), cfg.m)
-v = jnp.ones((2,L,L), cfg.cdtype)
-Dinv = stencil.site_inverse(D[0])
-# must FETCH a value: on the axon relay block_until_ready neither
-# synchronizes nor surfaces errors (they appear at first fetch)
-out = jax.jit(lambda D,v: smooth(D, Dinv, v, v*0, 8, "rbgs"))(D, v)
-val = float(jnp.abs(out).sum())
-assert val == val and val > 0, val
-print("healthy", val)
+x = jnp.ones((128, 128), jnp.float32)
+v = float(jax.jit(lambda a: (a @ a).sum())(x))
+assert v == 128 * 128 * 128, v
+print("healthy", v)
 '''
 
 ENTRY = r'''
@@ -157,7 +153,7 @@ def main():
         if not ok:
             print(f"[{time.strftime('%H:%M:%S')}] unhealthy: {msg[-60:]}",
                   flush=True)
-            time.sleep(120)
+            time.sleep(45)
             continue
         print(f"[{time.strftime('%H:%M:%S')}] healthy; running tasks",
               flush=True)
