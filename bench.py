@@ -267,7 +267,12 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
     single-config L>=512 program (every recorded attempt across rounds
     failed with UNIMPLEMENTED), but L=256 programs run fine. The batch
     axis is also the production multi-RHS/ensemble shape
-    (solver/ensemble.py), so this is a real workload, not a synthetic."""
+    (solver/ensemble.py), so this is a real workload, not a synthetic.
+    B=3 (~38 MB: the smallest batch whose working set strictly exceeds
+    the 1.5x-VMEM streaming threshold) is the shaky-window fallback —
+    observed windows pass the tiny canary yet fail every B=8 / L>=512
+    program, so the streaming ladder needs a rung barely above the
+    threshold."""
     import jax
     import jax.numpy as jnp
     import tpu_multigrid as mg
@@ -511,7 +516,17 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
             "achieved_bytes_per_s": b / dt, "nnz_per_s": nnz / dt,
             "bw_fraction": b / dt / peak,
             "regime": "hbm_streaming" if streaming else "vmem_resident"}
-    best = max(rows, key=lambda k: rows[k]["nnz_per_s"])
+    # Paths may sit in different regimes at the same L (the spin-projected
+    # links-only operator is ~4x smaller than dense D, so it stays
+    # VMEM-resident up to L=512 while the dense path already streams). The
+    # HEADLINE must be an honest roofline, so it comes from the best
+    # STREAMING path whenever one was measured; a VMEM-resident path that
+    # beats it on nnz/s is reported alongside as the solver-regime figure.
+    best_any = max(rows, key=lambda k: rows[k]["nnz_per_s"])
+    streaming_rows = [k for k in rows
+                      if rows[k]["regime"] == "hbm_streaming"]
+    best = (max(streaming_rows, key=lambda k: rows[k]["nnz_per_s"])
+            if streaming_rows else best_any)
     out = {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
            "L": L, "n": n, "paths": rows, "best_path": best,
            "sec_per_apply": rows[best]["sec_per_apply"],
@@ -526,6 +541,9 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
         # operands stay VMEM-resident across fori_loop iterations: the
         # effective bandwidth can exceed nominal HBM BW; not a roofline.
         out["effective_bw_fraction"] = rows[best]["bw_fraction"]
+    if best_any != best:
+        out["solver_regime_best"] = {
+            "path": best_any, **rows[best_any]}
     return out
 
 
@@ -539,19 +557,25 @@ def phase_stencil(L=256, reps=200):
     return _stencil_result(L, n, peak, kind, times, path_bytes, warn)
 
 
-def phase_stencil_batch():
+def phase_stencil_batch(B=8, reps=30):
     peak, kind = device_peak_bw()
     return bench_stencil_batch(
+        B=B, reps=reps,
         on_partial=lambda t, pb: _write_partial(
-            _stencil_result(256, 2, peak, kind, t, pb, "partial", batch=8)))
+            _stencil_result(256, 2, peak, kind, t, pb, "partial", batch=B)))
 
 
 PHASES = {
     "stencil": lambda: phase_stencil(L=256, reps=200),
+    # last-resort rung for the worst shaky windows (canary passes, every
+    # L>=256 program UNIMPLEMENTED): any real nnz/s beats the 0.0 fallback
+    "stencil_128": lambda: phase_stencil(L=128, reps=400),
     "stencil_batch": phase_stencil_batch,
+    "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=60),
     "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
     "stencil_stream_768": lambda: phase_stencil(L=768, reps=40),
     "stencil_stream_512": lambda: phase_stencil(L=512, reps=60),
+    "stencil_stream_384": lambda: phase_stencil(L=384, reps=80),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
     "solve256": bench_solve256,
     "ensemble8": bench_ensemble,
@@ -709,7 +733,9 @@ def _print_headline(stream):
 # single-config L=1024 stream, then the batched-256 stream (the only
 # streaming shape the relay has ever completed), then the remaining rungs.
 _HEADLINE_PHASES = ("stencil_stream", "stencil_batch",
-                    "stencil_stream_768", "stencil_stream_512", "stencil")
+                    "stencil_stream_768", "stencil_stream_512",
+                    "stencil_stream_384", "stencil_batch_3", "stencil",
+                    "stencil_128")
 # Phases whose metric is hardware-independent (cycle counts): run on the
 # host CPU with the axon plugin bypassed so a dead relay can't block them.
 _CPU_PHASES = {"mg_vs_mr"}

@@ -136,7 +136,13 @@ def main():
         "stencil_batch": bench_phase("stencil_batch", 900),
         "stencil_stream_768": bench_phase("stencil_stream_768", 900),
         "stencil_stream_512": bench_phase("stencil_stream_512", 900),
+        # shaky-window streaming rungs: smallest working sets that still
+        # genuinely exceed the 1.5x-VMEM streaming threshold (observed
+        # windows pass the canary but fail every B=8 / L>=512 program)
+        "stencil_stream_384": bench_phase("stencil_stream_384", 900),
+        "stencil_batch_3": bench_phase("stencil_batch_3", 900),
         "stencil": bench_phase("stencil", 900),
+        "stencil_128": bench_phase("stencil_128", 600),
         "solve256": bench_phase("solve256", 1500),
         "geo2048": bench_phase("geo2048", 1800),
         "ensemble8": bench_phase("ensemble8", 1500),

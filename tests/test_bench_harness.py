@@ -65,6 +65,29 @@ def test_stencil_result_regime_labels(bench):
     assert "effective_bw_fraction" in out2
 
 
+def test_stencil_result_headline_from_best_streaming_path(bench):
+    # links-only path is faster on nnz/s but VMEM-resident at L=384; the
+    # headline must stay an honest roofline (best STREAMING path), with
+    # the resident winner reported alongside as the solver-regime figure
+    peak = 819e9
+    out = bench._stencil_result(
+        384, 2, peak, "TPU v5 lite",
+        {"xla": 1e-3, "xla_u": 1e-4},
+        {"xla": int(28.3e6), "xla_u": int(7.1e6)})
+    assert out["best_path"] == "xla"
+    assert out["regime"] == "hbm_streaming"
+    assert 0 < out["roofline_fraction"] < 1.0
+    assert out["solver_regime_best"]["path"] == "xla_u"
+    # all-resident phase: unchanged behavior, no solver_regime_best split
+    out2 = bench._stencil_result(
+        128, 2, peak, "TPU v5 lite",
+        {"xla": 1e-5, "xla_u": 3e-6},
+        {"xla": int(3e6), "xla_u": int(8e5)})
+    assert out2["best_path"] == "xla_u"
+    assert "effective_bw_fraction" in out2
+    assert "solver_regime_best" not in out2
+
+
 def test_load_rung_rejects_cpu_for_tpu_phases(bench):
     bench._save_rung("stencil", {"nnz_per_s": 1e11, "device_kind": "cpu"})
     assert bench._load_rung("stencil") is None
