@@ -92,7 +92,8 @@ _REF_GEN1_CPU = {
     "history_per_cycle": [0.840399, 0.022314, 2.80892e-4, 5.07859e-6,
                           6.96268e-8, 9.64611e-10, 4.93028e-12,
                           1.24434e-12],
-    "cycles_to_1e-8": 5, "seconds_to_1e-8": 7.7,
+    "cycles_to_1e-7": 5, "seconds_to_1e-7": 7.7,
+    "cycles_to_1e-8": 6, "seconds_to_1e-8": 9.2,
     "plateau_sum_r": "3.0e-13..6.5e-13 (in-place-GS fp artifact; see "
                      "PARITY.md 'Known deviations')",
     "seconds_to_1e-14_threshold": "never (observed flat through iter 630, "
@@ -117,6 +118,11 @@ _PARTIAL_PATH = None    # set in phase children: incremental results land
 # thrown away just because the driver's bench run hits a bad window.
 RUNG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_rungs")
+
+# Where phase children drop full/partial results (fixed so a parent bench
+# process and the patient runner agree); tests monkeypatch this for
+# isolation from live runs.
+PARTIAL_DIR = "/tmp"
 
 
 def _save_rung(phase: str, result: dict):
@@ -182,8 +188,9 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
         0.2 * rng.normal(size=(2, L, L)), cfg.cdtype)
     D = mg.models.operators.assemble(stencil, U, cfg.m)
     n = cfg.n_dof[0]
-    v = jnp.asarray(rng.normal(size=(n, L, L))
-                    + 1j * rng.normal(size=(n, L, L))).astype(cfg.cdtype)
+    from tpu_multigrid.utils.xfer import device_complex
+    v = device_complex(rng.normal(size=(n, L, L))
+                       + 1j * rng.normal(size=(n, L, L)), cfg.cdtype)
 
     csize = 8 if dtype == "complex64" else 16
     dense_bytes = (5 * n * n + 2 * n) * L * L * csize
@@ -286,8 +293,9 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
         0.2 * rng.normal(size=(2, L, L)), cfg.cdtype) for _ in range(B)])
     D = jax.vmap(lambda u: mg.models.operators.assemble("wilson", u, cfg.m))(U)
     n = cfg.n_dof[0]
-    v = jnp.asarray(rng.normal(size=(B, n, L, L))
-                    + 1j * rng.normal(size=(B, n, L, L))).astype(cfg.cdtype)
+    from tpu_multigrid.utils.xfer import device_complex
+    v = device_complex(rng.normal(size=(B, n, L, L))
+                       + 1j * rng.normal(size=(B, n, L, L)), cfg.cdtype)
     nbytes = B * (5 * n * n + 2 * n) * L * L * 8
     peak, kind = device_peak_bw()
     errs = {}
@@ -456,18 +464,28 @@ def bench_geo2048(tries=2):
     m=0.002, 9 levels, 20 sweeps/level — hardcoded at
     2D_laplace_Mgrid.cpp:118-123) end-to-end on this chip, vs the
     compiled reference binary's measured single-thread CPU trajectory
-    (_REF_GEN1_CPU). The reference's 1e-14 sum|r| threshold is an
-    in-place-GS fp artifact no vectorized code can reproduce (see
-    _REF_GEN1_CPU / PARITY.md); the honest race is cycles/seconds to
-    sum|r| < 1e-8, run here with the TPU-native mixed-precision solver
+    (_REF_GEN1_CPU), using the TPU-native mixed-precision solver
     (f32 V-cycles inside an f64 defect-correction loop — f64 is emulated
-    on TPU, so the IR form keeps ~all FLOPs in fast f32)."""
+    on TPU, so the IR form keeps ~all FLOPs in fast f32).
+
+    Threshold honesty (measured on TPU 2026-08-20): at 2048^2 the
+    computed sum|r| of ANY solver storing phi in f64 floors near
+    eps64 * sum(per-site term magnitudes) ~ 4e-8 (geo_residual_floor) —
+    phi's own representation error produces that much true residual, so
+    both the reference's 1e-14 hardcoded threshold AND the previously
+    quoted 1e-8 race are below the floor of the true residual. (The
+    reference's computed values DO go lower — 3.0-6.5e-13 observed — via
+    its in-place-GS bitwise-cancellation artifact; its true residual
+    cannot.) The race is therefore to sum|r| < 1e-7, the tightest
+    decade both codes' computed residuals genuinely cross: reference
+    5 cycles / 7.7 s; the floor estimate and the plateau are reported."""
     import jax
     from tpu_multigrid.solver.geometric import (GeoConfig, geo_source,
+                                                geo_residual_floor,
                                                 geo_solve_ir)
 
     jax.config.update("jax_enable_x64", True)  # outer defect loop is f64
-    cfg = GeoConfig(res_threshold=1e-8, max_iters=24)
+    cfg = GeoConfig(res_threshold=1e-7, max_iters=12)
     b = geo_source(cfg)
     err = None
     for attempt in range(tries):
@@ -475,18 +493,31 @@ def bench_geo2048(tries=2):
             t0 = time.perf_counter()
             phi, iters, resmag, hist = geo_solve_ir(b, cfg, chunk=1)
             t_total = time.perf_counter() - t0
-            # compile is in the first chunk; re-run for the warm number
+            # warm per-cycle: one fused 12-cycle program (chunk=1 pays a
+            # relay round trip PER cycle — observed 0.15 vs 0.45 s/cycle
+            # run-to-run purely from dispatch+fetch latency); first call
+            # compiles, second call is the measurement
+            iters2 = 12
+            geo_solve_ir(b, cfg, max_iters=iters2, chunk=iters2)
             t0 = time.perf_counter()
-            phi, iters2, resmag2, _ = geo_solve_ir(b, cfg, chunk=1)
+            geo_solve_ir(b, cfg, max_iters=iters2, chunk=iters2)
             t_warm = time.perf_counter() - t0
+            import jax.numpy as jnp
+            floor = geo_residual_floor(jnp.asarray(phi), b, cfg)
+            sec_cyc = t_warm / max(iters2, 1)
             return {"L": cfg.L, "nlevels": cfg.nlevels,
                     "device_kind": jax.devices()[0].device_kind,
                     "solver": "geo_solve_ir (f32 V-cycles, f64 defect)",
-                    "target_sum_r": cfg.res_threshold,
-                    "cycles_to_1e-8": iters, "final_res_l1": resmag,
-                    "reached_1e-8": resmag < cfg.res_threshold,
+                    "race_threshold_sum_r": cfg.res_threshold,
+                    "cycles_to_1e-7": iters, "final_res_l1": resmag,
+                    "reached_1e-7": resmag < cfg.res_threshold,
+                    "f64_residual_floor_estimate": floor,
                     "seconds_cold": t_total, "seconds_warm": t_warm,
-                    "sec_per_cycle_warm": t_warm / max(iters2, 1),
+                    "sec_per_cycle_warm": sec_cyc,
+                    "speedup_vs_ref_cpu_per_cycle":
+                        _REF_GEN1_CPU["sec_per_cycle"] / sec_cyc,
+                    "seconds_to_1e-7_warm": sec_cyc * iters,
+                    "ref_seconds_to_1e-7": 7.7,
                     "history": [float(h) for h in hist],
                     "vs_reference_cpu": _REF_GEN1_CPU}
         except Exception as e:
@@ -628,7 +659,8 @@ def _run_child(cmd, timeout_s, env=None):
 def _read_partial(phase: str):
     """Best incremental result a phase child has written so far (or None)."""
     try:
-        with open(f"/tmp/bench_phase_{phase}.json.partial") as f:
+        with open(os.path.join(
+                PARTIAL_DIR, f"bench_phase_{phase}.json.partial")) as f:
             r = json.load(f)
         return r if "nnz_per_s" in r else None
     except Exception:
@@ -644,7 +676,7 @@ def _run_phase_subprocess(phase: str, tries: int = 3,
     hits a warm server-side cache and completes fast. All timeouts are
     clamped to the remaining global budget. A child that dies after
     measuring SOME paths still counts: its partial result is salvaged."""
-    out_file = f"/tmp/bench_phase_{phase}.json"
+    out_file = os.path.join(PARTIAL_DIR, f"bench_phase_{phase}.json")
     env = None
     if phase in _CPU_PHASES:
         # hardware-independent phase: bypass the axon plugin registration
@@ -714,7 +746,8 @@ def _print_headline(stream):
     else:
         mr = None
         try:
-            with open("/tmp/bench_phase_mg_vs_mr.json") as f:
+            with open(os.path.join(
+                    PARTIAL_DIR, "bench_phase_mg_vs_mr.json")) as f:
                 mr = json.load(f)
         except Exception:
             pass
@@ -803,9 +836,11 @@ def main():
         _save_rung(phase, result)   # persist across invocations
         return
 
-    for stale in ([f"/tmp/bench_phase_{ph}.json.partial"
+    for stale in ([os.path.join(PARTIAL_DIR,
+                                f"bench_phase_{ph}.json.partial")
                    for ph in _HEADLINE_PHASES]
-                  + ["/tmp/bench_phase_mg_vs_mr.json"]):
+                  + [os.path.join(PARTIAL_DIR,
+                                  "bench_phase_mg_vs_mr.json")]):
         try:        # only THIS run's measurements may feed the headline
             os.remove(stale)
         except OSError:

@@ -30,7 +30,8 @@ cfg = mg.MGConfig(L=L, stencil=st, m=-0.07, nlevels=1, dtype="complex64")
 rng = np.random.default_rng(3)
 U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)), cfg.cdtype)
 D = mg.models.operators.assemble(st, U, cfg.m)
-v = jnp.asarray(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L))).astype(cfg.cdtype)
+from tpu_multigrid.utils.xfer import device_complex
+v = device_complex(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L)), cfg.cdtype)
 out_p = ps.apply_D_pallas(D, v); jax.block_until_ready(out_p)
 out_x = stencil.apply_D(D, v)
 err = float(jnp.max(jnp.abs(out_p-out_x))/jnp.max(jnp.abs(out_x)))

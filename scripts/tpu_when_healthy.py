@@ -87,8 +87,9 @@ for L in (512, 1024):
     U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)),
                                           jnp.complex64)
     D = mg.models.operators.assemble("wilson", U, -0.07)
-    v = jnp.asarray(rng.normal(size=(2,L,L))
-                    + 1j*rng.normal(size=(2,L,L))).astype(jnp.complex64)
+    from tpu_multigrid.utils.xfer import device_complex
+    v = device_complex(rng.normal(size=(2,L,L))
+                       + 1j*rng.normal(size=(2,L,L)), jnp.complex64)
     ref = apply_D(D, v)
     got = ps.apply_D_pallas_tiled(D, v)
     err = float(jnp.max(jnp.abs(got-ref))/jnp.max(jnp.abs(ref)))

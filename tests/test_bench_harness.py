@@ -18,6 +18,8 @@ def bench(tmp_path, monkeypatch):
     import bench as b
     importlib.reload(b)
     monkeypatch.setattr(b, "RUNG_DIR", str(tmp_path / "rungs"))
+    # isolate from live bench/patient-runner partials in the real /tmp
+    monkeypatch.setattr(b, "PARTIAL_DIR", str(tmp_path))
     return b
 
 

@@ -216,7 +216,8 @@ def main(argv=None):
                   else mio.load_near_null_text)
         arrs = loader(path) if path.endswith(".npz") else loader(path, cfg)
         import jax.numpy as jnp
-        phi_null_init = tuple(jnp.asarray(a, cfg.cdtype) for a in arrs)
+        from .utils.xfer import device_complex
+        phi_null_init = tuple(device_complex(a, cfg.cdtype) for a in arrs)
 
     t0 = time.time()
     hier = mg.build_hierarchy(D, cfg, phi_null_init=phi_null_init)
@@ -225,7 +226,8 @@ def main(argv=None):
     if cfg.gen_null and ns.checkpoint:
         saver = (mio.save_near_null_npz if ns.checkpoint.endswith(".npz")
                  else mio.save_near_null_text)
-        saver(ns.checkpoint, [np.asarray(hier.levels[l].phi_null)
+        from .utils.xfer import host_complex
+        saver(ns.checkpoint, [host_complex(hier.levels[l].phi_null)
                               for l in range(cfg.nlevels)])
         print(f"wrote near-null checkpoint {ns.checkpoint}")
 
@@ -259,7 +261,8 @@ def main(argv=None):
         solver = sharded.make_sharded_solver(cfg, mesh, cfg.max_iters)(hier_s)
         phis, iters, res = solver(hier_s, mg.zero_fields(cfg), b)
         from .solver.driver import SolveResult
-        out = SolveResult(phi=np.asarray(phis[0]), iters=int(iters),
+        from .utils.xfer import host_complex
+        out = SolveResult(phi=host_complex(phis[0]), iters=int(iters),
                           resmag=float(res),
                           converged=float(res) < cfg.res_threshold)
     elif getattr(ns, "resume", None):
@@ -282,7 +285,8 @@ def main(argv=None):
                                          tol=cfg.res_threshold,
                                          max_iters=cfg.max_iters, chunk=200)
         from .solver.driver import SolveResult
-        out = SolveResult(phi=np.asarray(phi), iters=iters, resmag=rel,
+        from .utils.xfer import host_complex
+        out = SolveResult(phi=host_complex(phi), iters=iters, resmag=rel,
                           converged=rel < cfg.res_threshold)
     else:
         out = mg.solve_with_history(hier, b, cfg, writer=writer)

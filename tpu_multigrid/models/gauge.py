@@ -19,12 +19,15 @@ import jax.numpy as jnp
 
 def identity_gauge(L: int, dtype=jnp.complex128) -> jnp.ndarray:
     """Free field: all links 1 (reference gauge.h:35)."""
-    return jnp.ones((2, L, L), dtype=dtype)
+    from ..utils.xfer import device_full
+    return device_full((2, L, L), 1.0, dtype)
 
 
 def gauge_from_phases(phases: np.ndarray, dtype=jnp.complex128) -> jnp.ndarray:
-    """U = exp(i * phase), phases shaped [2, L, L]."""
-    return jnp.asarray(np.exp(1j * np.asarray(phases)), dtype=dtype)
+    """U = exp(i * phase), phases shaped [2, L, L]. Boundary-crossed via
+    utils.xfer (the axon relay rejects complex transfers in some windows)."""
+    from ..utils.xfer import device_complex
+    return device_complex(np.exp(1j * np.asarray(phases)), dtype)
 
 
 def random_gauge(L: int, key, width: float = 0.2, dtype=jnp.complex128):
@@ -169,11 +172,13 @@ def read_gauge_text(path: str, L: int, dtype=jnp.complex128) -> jnp.ndarray:
             re, im = line.split("+i")
             vals.append(complex(float(re), float(im)))
     u = np.array(vals).reshape(L, L, 2)
-    return jnp.asarray(np.transpose(u, (2, 0, 1)), dtype=dtype)
+    from ..utils.xfer import device_complex
+    return device_complex(np.transpose(u, (2, 0, 1)), dtype)
 
 
 def write_gauge_text(path: str, U: jnp.ndarray):
-    u = np.transpose(np.asarray(U), (1, 2, 0)).reshape(-1)
+    from ..utils.xfer import host_complex
+    u = np.transpose(host_complex(U), (1, 2, 0)).reshape(-1)
     with open(path, "w") as f:
         for v in u:
             f.write(f"{v.real:25.20e}+i{v.imag:25.20e}\n")

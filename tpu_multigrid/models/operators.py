@@ -46,7 +46,8 @@ def assemble_laplace(U: jnp.ndarray, m: float) -> jnp.ndarray:
     """
     L = U.shape[-1]
     dt = U.dtype
-    one = jnp.ones((L, L), dtype=dt)
+    from ..utils.xfer import device_full
+    one = device_full((L, L), 1.0, dt)
     d0 = -(4.0 + m) * one
     dxp = U[0]
     dxm = jnp.conj(jnp.roll(U[0], 1, axis=-2))   # U_x(x - x^)^*
@@ -67,12 +68,13 @@ def assemble_wilson(U: jnp.ndarray, m: float) -> jnp.ndarray:
     """
     L = U.shape[-1]
     dt = U.dtype
+    from ..utils.xfer import device_complex, device_full
     g1, g2 = gamma_matrices(dtype=np.complex128)
     eye = np.eye(2, dtype=np.complex128)
-    pm1 = jnp.asarray(0.5 * (eye - g1), dtype=dt)   # for +x
-    pp1 = jnp.asarray(0.5 * (eye + g1), dtype=dt)   # for -x
-    pm2 = jnp.asarray(0.5 * (eye - g2), dtype=dt)   # for +y
-    pp2 = jnp.asarray(0.5 * (eye + g2), dtype=dt)   # for -y
+    pm1 = device_complex(0.5 * (eye - g1), dt)   # for +x
+    pp1 = device_complex(0.5 * (eye + g1), dt)   # for -x
+    pm2 = device_complex(0.5 * (eye - g2), dt)   # for +y
+    pp2 = device_complex(0.5 * (eye + g2), dt)   # for -y
 
     ux, uy = U[0], U[1]
     uxm = jnp.conj(jnp.roll(ux, 1, axis=-2))
@@ -82,8 +84,8 @@ def assemble_wilson(U: jnp.ndarray, m: float) -> jnp.ndarray:
         # [2,2] x [L,L] -> [2,2,L,L]
         return proj[:, :, None, None] * link[None, None, :, :]
 
-    d0 = (2.0 + m) * jnp.asarray(eye, dtype=dt)[:, :, None, None] \
-        * jnp.ones((L, L), dtype=dt)[None, None]
+    d0 = (2.0 + m) * device_complex(eye, dt)[:, :, None, None] \
+        * device_full((L, L), 1.0, dt)[None, None]
     return jnp.stack([d0, hop(pm1, ux), hop(pp1, uxm),
                       hop(pm2, uy), hop(pp2, uym)])
 

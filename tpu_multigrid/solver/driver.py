@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MGConfig
+from ..utils.xfer import host_complex
 from ..ops.stencil import residual, residual_norm_ratio
 from .cycles import cycle
 from .hierarchy import Hierarchy, zero_fields
@@ -71,7 +72,7 @@ def solve(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     phis, iters, resmag = aot_call(run, hier, phis, b,
                                    key=("solve", cfg, max_iters))
     resmag = float(resmag)
-    return SolveResult(phi=np.asarray(phis[0]), iters=int(iters),
+    return SolveResult(phi=host_complex(phis[0]), iters=int(iters),
                        resmag=resmag,
                        converged=resmag < cfg.res_threshold)
 
@@ -107,7 +108,7 @@ def solve_chunked(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
         if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
                 or not np.isfinite(resmag):
             break
-    return SolveResult(phi=np.asarray(phis[0]), iters=it, resmag=resmag,
+    return SolveResult(phi=host_complex(phis[0]), iters=it, resmag=resmag,
                        converged=resmag < cfg.res_threshold)
 
 
@@ -152,7 +153,8 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     max_iters = max_iters or cfg.max_iters
     cfg_in = cfg.replace(dtype=inner_dtype)
     hier_in = cast_hierarchy(hier, cfg_in.cdtype)
-    phi = jnp.zeros((cfg.n_dof[0], cfg.L, cfg.L), cfg.cdtype)
+    from ..utils.xfer import device_full
+    phi = device_full((cfg.n_dof[0], cfg.L, cfg.L), 0.0, cfg.cdtype)
     r = b
 
     def step(hier, hier_in, phi, r, b):
@@ -184,7 +186,7 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
         if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
                 or not np.isfinite(resmag):
             break
-    return SolveResult(phi=np.asarray(phi), iters=outer * inner_cycles,
+    return SolveResult(phi=host_complex(phi), iters=outer * inner_cycles,
                        resmag=resmag,
                        converged=resmag < cfg.res_threshold,
                        history=np.asarray(history),
@@ -211,16 +213,16 @@ def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
         phis, a, res = step(hier, phis, b)
         resmag = float(res)
         history.append(resmag)
-        weights.append(np.asarray(a))
+        weights.append(host_complex(a))
         if writer is not None and (it - 1) % cfg.write_interval == 0:
-            writer.record(it, hier, phis, b, np.asarray(a))
+            writer.record(it, hier, phis, b, host_complex(a))
         if resmag < cfg.res_threshold:
             converged = True
             break
         if resmag > cfg.div_threshold or not np.isfinite(resmag):
             break
 
-    return SolveResult(phi=np.asarray(phis[0]), iters=it, resmag=resmag,
+    return SolveResult(phi=host_complex(phis[0]), iters=it, resmag=resmag,
                        converged=converged,
                        history=np.asarray(history),
                        ntl_weights=np.asarray(weights))
@@ -251,7 +253,7 @@ def solve_batched(hier: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
     phi, res = aot_call(lambda h, bb: jax.vmap(lambda b: one(h, b))(bb),
                         hier, bs, key=("batched", cfg, n_cycles,
                                        bs.shape[0]))
-    return np.asarray(phi), np.asarray(res)
+    return host_complex(phi), np.asarray(res)
 
 
 def mr_solve(D, b, tol: float = 1e-8, max_iters: int = 100000,
@@ -277,8 +279,9 @@ def mr_solve(D, b, tol: float = 1e-8, max_iters: int = 100000,
         x, r = jax.lax.fori_loop(0, chunk, body, (x, r))
         return x, r, jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
 
+    from ..utils.xfer import device_zeros_like
     bn = float(jnp.sqrt(jnp.sum(jnp.abs(b) ** 2)))
-    x, r = jnp.zeros_like(b), b
+    x, r = device_zeros_like(b), b
     it = 0
     rel = 1.0
     while it < max_iters:

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..models.operators import gamma5
 from ..ops.stencil import apply_D, _site_matvec
+from ..utils.xfer import device_complex
 
 
 def _norm(v):
@@ -95,7 +96,7 @@ def hermitian_form(D: jnp.ndarray, stencil: str) -> Callable:
     n = D.shape[1]
     if stencil == "laplace":
         return lambda v: apply_D(D, v)
-    g5 = jnp.asarray(gamma5(n), dtype=D.dtype)
+    g5 = device_complex(gamma5(n), D.dtype)
     return lambda v: jnp.einsum("ij,jxy->ixy", g5, apply_D(D, v))
 
 
@@ -112,8 +113,8 @@ def spectral_interval(D: jnp.ndarray, stencil: str, k: int = 48,
     eo/MR convergence or the dense spectrum at small L (PARITY.md)."""
     n, L = D.shape[1], D.shape[-1]
     rng = np.random.default_rng(seed)
-    v0 = jnp.asarray(rng.normal(size=(n, L, L))
-                     + 1j * rng.normal(size=(n, L, L))).astype(D.dtype)
+    v0 = device_complex(rng.normal(size=(n, L, L))
+                        + 1j * rng.normal(size=(n, L, L)), D.dtype)
     return lanczos_extremes(hermitian_form(D, stencil), v0, k)
 
 
@@ -140,8 +141,8 @@ def jacobi_operator_lmax(D: jnp.ndarray, D0inv: jnp.ndarray,
     A = D0^{-1} D — the upper end of the Chebyshev smoother's interval."""
     n, L = D.shape[1], D.shape[-1]
     rng = np.random.default_rng(seed)
-    v0 = jnp.asarray(rng.normal(size=(n, L, L))
-                     + 1j * rng.normal(size=(n, L, L))).astype(D.dtype)
+    v0 = device_complex(rng.normal(size=(n, L, L))
+                        + 1j * rng.normal(size=(n, L, L)), D.dtype)
     lam, _ = power_extreme(
         lambda v: _site_matvec(D0inv, apply_D(D, v)), v0, iters)
     return float(lam)

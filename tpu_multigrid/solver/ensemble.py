@@ -85,4 +85,5 @@ def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
 
     phi, res = aot_call(lambda h, bb: jax.vmap(one)(h, bb), hier_b, bs,
                         key=("ensemble", cfg, n_cycles, bs.shape[0]))
-    return np.asarray(phi), np.asarray(res)
+    from ..utils.xfer import host_complex
+    return host_complex(phi), np.asarray(res)

@@ -113,8 +113,9 @@ def eo_mr_solve(D: jnp.ndarray, b: jnp.ndarray, tol: float = 1e-8,
     # With x_o back-substituted exactly, the odd rows of b - D x vanish
     # identically and the even rows equal the Schur residual — so the
     # Schur residual norm IS the full residual norm; divide by ||b||.
+    from ..utils.xfer import device_zeros_like
     bn = float(jnp.sqrt(jnp.sum(jnp.abs(b) ** 2)))
-    xe, r = jnp.zeros_like(b), be_hat
+    xe, r = device_zeros_like(b), be_hat
     key = ("eo_mr", D.shape, str(D.dtype), chunk)
     it = 0
     while it < max_iters:

@@ -69,6 +69,23 @@ def geo_residue_l1(phi, b, cfg: GeoConfig):
     return jnp.sum(jnp.abs(geo_residual(phi, b, 0, cfg)))
 
 
+def geo_residual_floor(phi, b, cfg: GeoConfig) -> float:
+    """First-order rounding floor of the computed sum|r| for THIS phi in
+    its own dtype: each site's residual expression carries fp error
+    ~ eps * (sum of its terms' magnitudes), and the L1 norm adds the
+    |errors| coherently over L^2 sites. Any solver storing phi at this
+    precision has true residual >= this once converged (phi's own
+    representation error alone produces A*delta of the same size), so
+    sub-floor thresholds are unreachable no matter how many cycles run —
+    the reference's own sub-floor 'converged' values at 2048^2 come from
+    its in-place-GS bitwise-cancellation artifact (computed residual, not
+    true residual; PARITY.md 'Known deviations')."""
+    a = cfg.spacings[0]
+    mag = (jnp.abs(b) + (1.0 / (a * a))
+           * (_ngb_sum(jnp.abs(phi)) + jnp.abs(phi) / cfg.scales[0]))
+    return float(jnp.finfo(phi.dtype).eps * jnp.sum(mag))
+
+
 def _geo_sweep(phi, r, level, cfg, parity=None):
     a = cfg.spacings[level]
     upd = cfg.scales[level] * (_ngb_sum(phi) - r * a * a)

@@ -214,9 +214,13 @@ def cast_hierarchy(hier: Hierarchy, cdtype) -> Hierarchy:
 
 
 def zero_fields(cfg: MGConfig) -> Tuple[jnp.ndarray, ...]:
-    """Zero solution vectors, one per level."""
+    """Zero solution vectors, one per level (built inside jitted fills:
+    eager complex constructors transfer a host constant, which the axon
+    relay rejects in some windows — utils/xfer.py)."""
+    from ..utils.xfer import device_full
     return tuple(
-        jnp.zeros((cfg.n_dof[l], cfg.sizes[l], cfg.sizes[l]), cfg.cdtype)
+        device_full((cfg.n_dof[l], cfg.sizes[l], cfg.sizes[l]), 0.0,
+                    cfg.cdtype)
         for l in range(cfg.nlevels + 1))
 
 
@@ -225,5 +229,6 @@ def point_source(cfg: MGConfig, value: complex = 5.0,
     """Reference source: r(2 + 2L)(0) = 5.0 => site (x=2, y=2)? The
     reference indexes x + y*L with x=2, y=2 for L>=... actually 2+2*p.L
     means x=2, y=2 (level.h:55-59). dof component 0."""
-    r = jnp.zeros((cfg.n_dof[0], cfg.L, cfg.L), cfg.cdtype)
+    from ..utils.xfer import device_full
+    r = device_full((cfg.n_dof[0], cfg.L, cfg.L), 0.0, cfg.cdtype)
     return r.at[0, site[0], site[1]].set(value)

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import MGConfig
 from ..ops.stencil import apply_D
+from ..utils.xfer import host_complex
 from .cycles import cycle
 from .hierarchy import Hierarchy, zero_fields
 
@@ -45,15 +46,16 @@ def fgmres_solve(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     apply = jax.jit(lambda h, v: apply_D(h.levels[0].D, v))
     prec = jax.jit(lambda h, v: _mg_precond(h, v, cfg, precond_cycles))
 
+    from ..utils.xfer import device_zeros_like
     bnorm = float(jnp.linalg.norm(b.ravel()))
-    x = jnp.zeros_like(b)
+    x = device_zeros_like(b)
     total_iters = 0
 
     for outer in range(max_restarts):
         r = b - apply(hier, x)
         beta = float(jnp.linalg.norm(r.ravel()))
         if beta / bnorm < tol:
-            return np.asarray(x), total_iters, beta / bnorm
+            return host_complex(x), total_iters, beta / bnorm
         V = [r / beta]
         Z = []
         H = np.zeros((restart + 1, restart), dtype=np.complex128)
@@ -89,4 +91,4 @@ def fgmres_solve(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
 
     r = b - apply(hier, x)
     rel = float(jnp.linalg.norm(r.ravel())) / bnorm
-    return np.asarray(x), total_iters, rel
+    return host_complex(x), total_iters, rel

@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..config import MGConfig
+from .xfer import device_complex, host_complex
 from ..solver.hierarchy import Hierarchy, LevelOps, NTLOps
 
 
@@ -23,16 +24,16 @@ def save_solver_state(path: str, cfg: MGConfig, hier: Hierarchy, phis,
                       it: int, resmag: float):
     arrs = {}
     for l, lev in enumerate(hier.levels):
-        arrs[f"D_{l}"] = np.asarray(lev.D)
-        arrs[f"D0inv_{l}"] = np.asarray(lev.D0inv)
+        arrs[f"D_{l}"] = host_complex(lev.D)
+        arrs[f"D0inv_{l}"] = host_complex(lev.D0inv)
         if lev.phi_null is not None:
-            arrs[f"phi_null_{l}"] = np.asarray(lev.phi_null)
+            arrs[f"phi_null_{l}"] = host_complex(lev.phi_null)
     if hier.ntl is not None:
-        arrs["ntl_phi_null"] = np.asarray(hier.ntl.phi_null)
-        arrs["ntl_D"] = np.asarray(hier.ntl.D)
-        arrs["ntl_D0inv"] = np.asarray(hier.ntl.D0inv)
+        arrs["ntl_phi_null"] = host_complex(hier.ntl.phi_null)
+        arrs["ntl_D"] = host_complex(hier.ntl.D)
+        arrs["ntl_D0inv"] = host_complex(hier.ntl.D0inv)
     for l, p in enumerate(phis):
-        arrs[f"phi_{l}"] = np.asarray(p)
+        arrs[f"phi_{l}"] = host_complex(p)
     meta = {"iter": it, "resmag": resmag, "nlevels": cfg.nlevels,
             "cfg": {f: getattr(cfg, f) for f in
                     ("L", "stencil", "m", "nlevels", "block_x", "block_y",
@@ -50,17 +51,17 @@ def load_solver_state(path: str, cfg: MGConfig) -> Tuple[Hierarchy, tuple,
                              f"{meta['cfg']} vs current")
         levels = []
         for l in range(cfg.nlevels + 1):
-            pn = (jnp.asarray(z[f"phi_null_{l}"])
+            pn = (device_complex(z[f"phi_null_{l}"], None)
                   if f"phi_null_{l}" in z.files else None)
-            levels.append(LevelOps(D=jnp.asarray(z[f"D_{l}"]),
-                                   D0inv=jnp.asarray(z[f"D0inv_{l}"]),
+            levels.append(LevelOps(D=device_complex(z[f"D_{l}"], None),
+                                   D0inv=device_complex(z[f"D0inv_{l}"], None),
                                    phi_null=pn))
         ntl = None
         if "ntl_D" in z.files:
-            ntl = NTLOps(phi_null=jnp.asarray(z["ntl_phi_null"]),
-                         D=jnp.asarray(z["ntl_D"]),
-                         D0inv=jnp.asarray(z["ntl_D0inv"]))
-        phis = tuple(jnp.asarray(z[f"phi_{l}"])
+            ntl = NTLOps(phi_null=device_complex(z["ntl_phi_null"], None),
+                         D=device_complex(z["ntl_D"], None),
+                         D0inv=device_complex(z["ntl_D0inv"], None))
+        phis = tuple(device_complex(z[f"phi_{l}"], None)
                      for l in range(cfg.nlevels + 1))
     return (Hierarchy(levels=tuple(levels), ntl=ntl), phis,
             int(meta["iter"]), float(meta["resmag"]))
@@ -143,5 +144,5 @@ def solve_resumable(hier, b, cfg: MGConfig, path: str,
         if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
                 or not np.isfinite(resmag):
             break
-    return SolveResult(phi=np.asarray(phis[0]), iters=it, resmag=resmag,
+    return SolveResult(phi=host_complex(phis[0]), iters=it, resmag=resmag,
                        converged=resmag < cfg.res_threshold)

@@ -22,6 +22,7 @@ import os
 from typing import List, Optional
 
 import numpy as np
+from .xfer import host_complex
 
 
 def _fmt_c(z) -> str:
@@ -56,7 +57,7 @@ class ResultsWriter:
     def record(self, it: int, hier, phis, b, weights: np.ndarray):
         from ..ops.stencil import residual
         cfg = self.cfg
-        phi0 = np.asarray(phis[0])
+        phi0 = host_complex(phis[0])
         self.f_phi.write(f"{it},")
         for z in _field_to_ref_order(phi0):
             self.f_phi.write(_fmt_c(z) + ",")
@@ -73,7 +74,7 @@ class ResultsWriter:
                 res = restrict(hier.levels[l - 1].phi_null, res,
                                self.cfg.quad, self.cfg.block_x,
                                self.cfg.block_y)
-            field = np.asarray(res)
+            field = host_complex(res)
             if l == 0:
                 res0 = field
             f.write(f"{it},")
@@ -87,7 +88,7 @@ class ResultsWriter:
         self.f_w.write("\n")
 
         if self.f_jsonl is not None:
-            rel = float(np.linalg.norm(res0) / np.linalg.norm(np.asarray(b)))
+            rel = float(np.linalg.norm(res0) / np.linalg.norm(host_complex(b)))
             self.f_jsonl.write(json.dumps(
                 {"iter": it, "rel_residual": rel,
                  "ntl_weights_re": [float(w.real) for w in weights],
@@ -122,7 +123,7 @@ def save_near_null_text(path: str, phi_nulls: List[np.ndarray]):
     flat = []
     for pn in phi_nulls:
         # order: j = x + y*L (x fastest), d1, d2
-        flat.append(np.transpose(np.asarray(pn), (3, 2, 0, 1)).reshape(-1))
+        flat.append(np.transpose(host_complex(pn), (3, 2, 0, 1)).reshape(-1))
     vals = np.concatenate(flat)
     try:
         from . import native
