@@ -146,6 +146,20 @@ def run_final_gen(L: int, num_iters: int, block: int, m: float,
                           f'stencil        = "{stencil}";')
             with open(pth, "w") as f:
                 f.write(s)
+        # timestamp every iteration print (monotonic seconds since start)
+        # so seconds/cycle and setup-vs-solve split can be measured; the
+        # patched copy lives only in the temp build dir
+        pmm = os.path.join(src_dir, "modules_main.h")
+        with open(pmm) as f:
+            s = f.read()
+        s = s.replace(
+            'printf("\\nAt iteration %d, the mag residue is %g",iter,'
+            'resmag);',
+            'printf("\\nAt iteration %d, the mag residue is %g '
+            '[t=%.3f]",iter,resmag,'
+            '(double)clock()/CLOCKS_PER_SEC);')
+        with open(pmm, "w") as f:
+            f.write(s)
         exe = os.path.join(src_dir, "mgrid_ntl")
         subprocess.run(["g++", "-O2", "-std=c++17", f"-I{EIGEN_SHIM}",
                         os.path.join(src_dir, "mgrid_ntl.cpp"), "-lm",
@@ -171,13 +185,15 @@ def run_final_gen(L: int, num_iters: int, block: int, m: float,
              repr(m), str(nlevels), str(t_flag), str(n_copies)],
             capture_output=True, text=True, timeout=timeout, cwd=run_dir)
 
-        hist, weights = [], []
+        hist, weights, times = [], [], []
         converged = None
         for line in r.stdout.splitlines():
             mm = re.search(r"At iteration (\d+), the mag residue is "
-                           r"([\d.eE+-]+|nan|inf)", line)
+                           r"([\d.eE+-]+|nan|inf)(?: \[t=([\d.]+)\])?", line)
             if mm and mm.group(1) != "0":
                 hist.append((int(mm.group(1)), float(mm.group(2))))
+                if mm.group(3):
+                    times.append((int(mm.group(1)), float(mm.group(3))))
             mm = re.search(r"Loop breaks at iteration (\d+) with residue "
                            r"([\d.eE+-]+)", line)
             if mm:
@@ -187,7 +203,7 @@ def run_final_gen(L: int, num_iters: int, block: int, m: float,
                 weights.append([complex(float(a), float(b))
                                 for a, b in ws])
         return {"history": hist, "converged": converged,
-                "weights": weights, "workdir": workdir,
+                "weights": weights, "times": times, "workdir": workdir,
                 "stdout_tail": r.stdout[-500:]}
     finally:
         if own_tmp:
