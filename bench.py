@@ -4,15 +4,16 @@ Prints ONE JSON line:
   {"metric": "wilson_stencil_spmv_nnz_per_s", "value": ..., "unit": "nnz/s",
    "vs_baseline": <achieved HBM bandwidth / peak HBM bandwidth>}
 
-The headline is the HBM-STREAMING regime (L=1024: the 201 MB working set
-cannot live in VMEM, so every apply genuinely streams D and v from HBM —
-the roofline fraction is an honest bandwidth fraction; BASELINE.json
-target: >= 0.60 of the speed of light for the gauged 5-point stencil
-SpMV). The solver regime (L=256: D stays VMEM-resident across smoother
-sweeps, sustaining MORE than nominal HBM bandwidth) is reported separately
-in bench_details.json — that regime is what the MG solver actually runs
-in, but its >1 "fraction" is an effective-bandwidth figure, not a roofline
-fraction. MG-vs-MR cycle counts are also in bench_details.json.
+The headline is the HBM-STREAMING regime: a ladder of lattice/batch sizes
+whose working sets exceed 1.5x VMEM, so every apply genuinely streams its
+operator from HBM and the roofline fraction is an honest bandwidth
+fraction (BASELINE.json target: >= 0.60 of the speed of light for the
+gauged 5-point stencil SpMV; best measured 2026-08-20: links-only path at
+L=768, 0.929). The solver regime (L<=256: D stays VMEM-resident across
+smoother sweeps, sustaining MORE than nominal HBM bandwidth) is reported
+separately — that regime is what the MG solver actually runs in, but its
+>1 "fraction" is an effective-bandwidth figure, not a roofline fraction.
+MG-vs-MR cycle counts are also in bench_details.json.
 
 Time discipline (round-1 lesson: the driver killed the bench before any
 output; the driver parses the stdout TAIL regardless of exit code, so
@@ -98,6 +99,26 @@ _REF_GEN1_CPU = {
                      "PARITY.md 'Known deviations')",
     "seconds_to_1e-14_threshold": "never (observed flat through iter 630, "
                                   "1020 s; 10000-cycle run ~= 4.3 h)"}
+
+
+# Measured trajectory of the reference FINAL generation (wilson NTL,
+# L=256, num_iters=4, block=2, m=-0.005, nlevels=3, t_flag=1, n_copies=4
+# — the flagship solve256 config) compiled via scripts/reference_oracle
+# .run_final_gen (g++ -O2 -std=c++17 against the repo's Eigen shim) on the
+# SAME gauge configuration bench_solve256 uses (Gaussian phases 0.2*N(0,1),
+# seed 4302529), single thread, this host, 2026-08-20. Setup (near-null
+# generation + Galerkin) ran ~125 s; then per-cycle clock() timestamps:
+_REF_FLAGSHIP_CPU = {
+    "host": "single-thread CPU", "compiler": "g++ -O2 (Eigen-shim)",
+    "measured": "2026-08-20", "config": "wilson NTL 256^2 nlevels=3 "
+    "num_iters=4 n_copies=4 m=-0.005 (same gauge config as solve256)",
+    "setup_seconds": 124.9, "sec_per_cycle": 1.489,
+    "cycles_to_1e-6": 10, "seconds_to_1e-6_after_setup": 14.6,
+    "cycles_to_1e-8": 15, "cycles_to_1e-13": 28,
+    "total_seconds_to_1e-13": 164.6,
+    "history_head": [0.103148, 0.0109218, 0.00178452],
+    "note": "ours converges in the SAME 10 cycles to ~1e-6 (complex64) "
+            "at 0.0213 s/cycle warm on one v5e — ~70x per cycle"}
 
 
 def device_peak_bw():
@@ -403,7 +424,8 @@ def bench_solve256(tries=2):
                     "setup_seconds": t_setup,
                     "solve_seconds_cold": t_cold,
                     "solve_seconds_warm": t_warm,
-                    "device_kind": jax.devices()[0].device_kind}
+                    "device_kind": jax.devices()[0].device_kind,
+                    "vs_reference_cpu": _REF_FLAGSHIP_CPU}
         except Exception as e:
             err = str(e)[:150]
             time.sleep(3)

@@ -29,3 +29,28 @@ def test_ensemble_setup_and_solve():
     # linearity sanity: config 0 solved with 2b gives 2x the phi of b?
     # (different configs -> different operators, so only check rhs scaling
     # is consistent per config via the residual)
+
+
+def test_ensemble_sharded_matches_single_device():
+    """DP ensemble over a 1-axis 'config' mesh: each device solves its own
+    configurations (no collectives); results must match the unsharded
+    batched solve bit-for-... well, to fp tolerance."""
+    from jax.sharding import Mesh
+
+    cfg = MGConfig(L=16, stencil="wilson", m=0.2, nlevels=2, ntl=True,
+                   num_iters=6, null_iters=60, res_threshold=1e-8)
+    rng = np.random.default_rng(1)
+    B = 4
+    Us = jnp.stack([
+        gauge.gauge_from_phases(0.2 * rng.normal(size=(2, 16, 16)),
+                                cfg.cdtype)
+        for _ in range(B)])
+    hier_b = build_hierarchies_batched(Us, cfg)
+    b = point_source(cfg)
+    bs = jnp.stack([b * (1.0 + 0.5 * k) for k in range(B)])
+    phi0, res0 = solve_ensemble(hier_b, bs, cfg, n_cycles=12)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("config",))
+    phi1, res1 = solve_ensemble(hier_b, bs, cfg, n_cycles=12, mesh=mesh)
+    assert (res1 < 1e-6).all(), res1
+    np.testing.assert_allclose(phi1, phi0, rtol=2e-6, atol=1e-8)

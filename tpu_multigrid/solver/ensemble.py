@@ -68,10 +68,19 @@ def build_hierarchies_batched(Us: jnp.ndarray, cfg: MGConfig,
 
 
 def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
-                   n_cycles: int):
+                   n_cycles: int, mesh=None):
     """Fixed-cycle MG solve vmapped over the batch axis of hierarchies
-    and right-hand sides. Returns (phi [batch,n,L,L], rel_res [batch])."""
+    and right-hand sides. Returns (phi [batch,n,L,L], rel_res [batch]).
+
+    mesh: optional 1-axis `jax.sharding.Mesh` — the batch axis is then
+    sharded over its devices (pure data parallelism: each device solves
+    its own configurations, no collectives in the program; the SPMD
+    analog of the reference's per-config shell jobs). batch must divide
+    by the device count."""
     from ..utils.compile import aot_call
+
+    if mesh is not None:
+        hier_b, bs = shard_ensemble((hier_b, bs), mesh)
 
     def one(h, b):
         phis = zero_fields(cfg)
@@ -84,6 +93,22 @@ def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
         return phis[0], residual_norm_ratio(h.levels[0].D, phis[0], b)
 
     phi, res = aot_call(lambda h, bb: jax.vmap(one)(h, bb), hier_b, bs,
-                        key=("ensemble", cfg, n_cycles, bs.shape[0]))
+                        key=("ensemble", cfg, n_cycles, bs.shape[0],
+                             None if mesh is None else tuple(mesh.shape.items())))
     from ..utils.xfer import host_complex
     return host_complex(phi), np.asarray(res)
+
+
+def shard_ensemble(tree, mesh):
+    """Shard every array leaf's leading (configuration) axis over the
+    single mesh axis; scalars/short leaves are replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % ndev == 0:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)

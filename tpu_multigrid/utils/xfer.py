@@ -44,20 +44,26 @@ def _split():
 
 
 @functools.lru_cache(maxsize=256)
-def _full(shape, value_re: float, value_im: float, dtype_name: str):
+def _full_fn(shape, value_re: float, value_im: float, dtype_name: str):
+    # cache the jitted FN, never its result: a cached concrete array
+    # becomes a hoisted closure constant when device_full is called
+    # inside a traced function (breaking AOT executables' input counts),
+    # and a first call under tracing would leak a tracer into the cache
     dt = jnp.dtype(dtype_name)
-    val = (value_re if not value_im and not jnp.issubdtype(dt, jnp.complexfloating)
+    val = (value_re
+           if not value_im and not jnp.issubdtype(dt, jnp.complexfloating)
            else complex(value_re, value_im))
-    return jax.jit(lambda: jnp.full(shape, val, dt))()
+    return jax.jit(lambda: jnp.full(shape, val, dt))
 
 
 def device_full(shape, value, dtype) -> jnp.ndarray:
     """Eager `jnp.full`/`ones`/`zeros` replacement safe for complex
     dtypes: eager complex constructors materialize a HOST constant and
     transfer it (fails on the relay, same class as device_put); this
-    builds the constant INSIDE a jitted program instead."""
+    builds the constant INSIDE a jitted program instead. Inside a traced
+    function it inlines as a plain HLO constant."""
     v = complex(value)
-    return _full(tuple(shape), v.real, v.imag, jnp.dtype(dtype).name)
+    return _full_fn(tuple(shape), v.real, v.imag, jnp.dtype(dtype).name)()
 
 
 # eager jnp.zeros_like on a complex array also materializes a host
