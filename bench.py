@@ -118,7 +118,7 @@ _REF_FLAGSHIP_CPU = {
     "total_seconds_to_1e-13": 164.6,
     "history_head": [0.103148, 0.0109218, 0.00178452],
     "note": "ours converges in the SAME 10 cycles to ~1e-6 (complex64) "
-            "at 0.0213 s/cycle warm on one v5e — ~70x per cycle"}
+            "at 0.0110 s/cycle (fused) on one v5e — ~135x per cycle"}
 
 
 def device_peak_bw():
@@ -419,11 +419,24 @@ def bench_solve256(tries=2):
             t0 = time.perf_counter()
             out = mg.solve_chunked(hier, b, cfg, max_iters=200, chunk=5)
             t_warm = time.perf_counter() - t0
+            # per-cycle on-chip time: one fused 20-cycle program (the
+            # chunked warm number above still pays a relay dispatch+fetch
+            # round trip per 5-cycle chunk, ~50-100 ms each); first call
+            # compiles, second is the measurement
+            n_fused = 20
+            mg.solve_chunked(hier, b, cfg, max_iters=n_fused, chunk=n_fused)
+            t0 = time.perf_counter()
+            mg.solve_chunked(hier, b, cfg, max_iters=n_fused, chunk=n_fused)
+            t_fused = time.perf_counter() - t0
+            sec_cyc = t_fused / n_fused
             return {"L": L, "dtype": "complex64", "cycles": out.iters,
                     "res": out.resmag, "converged": out.converged,
                     "setup_seconds": t_setup,
                     "solve_seconds_cold": t_cold,
                     "solve_seconds_warm": t_warm,
+                    "sec_per_cycle_fused": sec_cyc,
+                    "speedup_per_cycle_vs_ref":
+                        _REF_FLAGSHIP_CPU["sec_per_cycle"] / sec_cyc,
                     "device_kind": jax.devices()[0].device_kind,
                     "vs_reference_cpu": _REF_FLAGSHIP_CPU}
         except Exception as e:

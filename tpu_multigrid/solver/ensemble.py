@@ -10,7 +10,6 @@ sharded over a 'config' mesh axis for data-parallel ensembles).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -27,8 +26,7 @@ from .hierarchy import (Hierarchy, LevelOps, _setup_level_jit, zero_fields,
 from ..ops.stencil import site_inverse
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _batched_setup(Ds, starts_per_level, cfg: MGConfig):
+def _batched_setup_traced(Ds, starts_per_level, cfg: MGConfig):
     """vmapped per-level setup over the leading config axis."""
     levels = []
     D = Ds
@@ -64,7 +62,12 @@ def build_hierarchies_batched(Us: jnp.ndarray, cfg: MGConfig,
         starts.append(jax.vmap(
             lambda kk: random_starts(kk, k, nf, cfg.sizes[lvl],
                                      cfg.cdtype))(subs))
-    return _batched_setup(Ds, tuple(starts), cfg)
+    # AOT-compiled (utils/compile): the plain jit dispatch path can hit
+    # UNIMPLEMENTED executable-serialization errors on the axon relay
+    from ..utils.compile import aot_call
+    return aot_call(lambda d, s: _batched_setup_traced(d, s, cfg),
+                    Ds, tuple(starts),
+                    key=("ensemble_setup", cfg, batch))
 
 
 def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
