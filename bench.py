@@ -631,17 +631,22 @@ def phase_stencil_batch(B=8, reps=30):
             _stencil_result(256, 2, peak, kind, t, pb, "partial", batch=B)))
 
 
+# reps discipline: the 2r-vs-r differencing cancels the relay round trip
+# (~100 ms, with ms-level jitter) only if the LOOP time dwarfs the jitter.
+# reps are sized so the r-loop runs >= ~0.3 s at roofline speed — early
+# small-reps runs produced per-apply signals of 1-3 ms and the resident
+# L=256 pallas_u number swung 5x between runs purely from latency noise.
 PHASES = {
-    "stencil": lambda: phase_stencil(L=256, reps=200),
+    "stencil": lambda: phase_stencil(L=256, reps=50000),
     # last-resort rung for the worst shaky windows (canary passes, every
     # L>=256 program UNIMPLEMENTED): any real nnz/s beats the 0.0 fallback
-    "stencil_128": lambda: phase_stencil(L=128, reps=400),
-    "stencil_batch": phase_stencil_batch,
-    "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=60),
-    "stencil_stream": lambda: phase_stencil(L=1024, reps=30),
-    "stencil_stream_768": lambda: phase_stencil(L=768, reps=40),
-    "stencil_stream_512": lambda: phase_stencil(L=512, reps=60),
-    "stencil_stream_384": lambda: phase_stencil(L=384, reps=80),
+    "stencil_128": lambda: phase_stencil(L=128, reps=100000),
+    "stencil_batch": lambda: phase_stencil_batch(B=8, reps=2500),
+    "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=6000),
+    "stencil_stream": lambda: phase_stencil(L=1024, reps=2000),
+    "stencil_stream_768": lambda: phase_stencil(L=768, reps=3000),
+    "stencil_stream_512": lambda: phase_stencil(L=512, reps=6000),
+    "stencil_stream_384": lambda: phase_stencil(L=384, reps=10000),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
     "solve256": bench_solve256,
     "ensemble8": bench_ensemble,
