@@ -4,16 +4,17 @@ Prints ONE JSON line:
   {"metric": "wilson_stencil_spmv_nnz_per_s", "value": ..., "unit": "nnz/s",
    "vs_baseline": <achieved HBM bandwidth / peak HBM bandwidth>}
 
-The headline is the HBM-STREAMING regime: a ladder of lattice/batch sizes
-whose working sets exceed 1.5x VMEM, so every apply genuinely streams its
+The headline is the HBM-STREAMING regime: rungs whose working sets exceed
+PHYSICAL VMEM (128 MiB on v5e), so every apply genuinely streams its
 operator from HBM and the roofline fraction is an honest bandwidth
 fraction (BASELINE.json target: >= 0.60 of the speed of light for the
-gauged 5-point stencil SpMV; best measured 2026-08-20: links-only path at
-L=768, 0.929). The solver regime (L<=256: D stays VMEM-resident across
-smoother sweeps, sustaining MORE than nominal HBM bandwidth) is reported
-separately — that regime is what the MG solver actually runs in, but its
->1 "fraction" is an effective-bandwidth figure, not a roofline fraction.
-MG-vs-MR cycle counts are also in bench_details.json.
+gauged 5-point stencil SpMV). Working sets below that may be kept on-chip
+by XLA across the timing loop (measured: a 28 MB links-only set sustained
+1.18x nominal HBM BW) — those rungs are labeled vmem_resident and report
+an effective-bandwidth figure, not a roofline fraction; that regime is
+what the MG solver actually runs in. Every non-XLA path must reproduce
+the XLA reference numerically before its timing counts. MG-vs-MR cycle
+counts are also in bench_details.json.
 
 Time discipline (round-1 lesson: the driver killed the bench before any
 output; the driver parses the stdout TAIL regardless of exit code, so
@@ -58,6 +59,13 @@ HBM_PEAK = {
     "TPU v6e": 1640e9,
     "cpu": 100e9,               # placeholder for host runs
 }
+
+# Physical per-core VMEM (v5e): the honest streaming threshold. XLA keeps
+# loop-invariant operands on-chip whenever they fit (with the raised
+# 64 MiB scoped limit plus hoisting, ~100 MB sets have measured >1x
+# nominal HBM bandwidth), so only working sets beyond PHYSICAL VMEM are
+# guaranteed to stream from HBM every apply.
+VMEM_PHYS = 128 * 1024 * 1024
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 900))
 # Print the headline from partial data no later than this (the full
@@ -219,50 +227,80 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     u_bytes = (2 + 2 * n) * L * L * csize
 
     scale = 1.0 / (4.0 + cfg.m)
-    # name -> (fn(args...), argtuple, min HBM bytes per apply)
+    # name -> (fn(args...), argtuple, min HBM bytes per apply, adjust)
+    # `adjust` maps the path's output onto the xla reference's
+    # normalization for the numerics gate (the links-only forms compute
+    # the UNSCALED apply_D).
     paths = {"xla": (lambda D, v: apply_D(D, v) * scale, (D, v),
-                     dense_bytes)}
+                     dense_bytes, 1.0)}
     if stencil == "wilson":
         from tpu_multigrid.ops.gauge_stencil import apply_wilson_u
         paths["xla_u"] = (
-            lambda U, v: apply_wilson_u(U, cfg.m, v), (U, v), u_bytes)
+            lambda U, v: apply_wilson_u(U, cfg.m, v), (U, v), u_bytes,
+            scale)
     if ps.use_pallas(v.dtype, n, L):
         paths["pallas"] = (lambda D, v: ps.apply_D_pallas(D, v) * scale,
-                           (D, v), dense_bytes)
+                           (D, v), dense_bytes, 1.0)
     elif (v.dtype == jnp.complex64 and ps._on_tpu()
           and ps._pick_tile(n, L)):
         paths["pallas_tiled"] = (
             lambda D, v: ps.apply_D_pallas_tiled(D, v) * scale, (D, v),
-            dense_bytes)
+            dense_bytes, 1.0)
     if (stencil == "wilson" and v.dtype == jnp.complex64 and ps._on_tpu()
             and ps._pick_tile_u(L)):
         paths["pallas_u"] = (
             lambda U, v: ps.apply_wilson_u_pallas(U, cfg.m, v), (U, v),
-            u_bytes)
+            u_bytes, scale)
 
     peak, _ = device_peak_bw()
 
     from tpu_multigrid.profiling import time_op
 
+    # Numerics gate: a mis-lowered kernel can be fast AND wrong (and a
+    # wrong-fast path would silently carry the headline), so every
+    # alternative path must reproduce the XLA reference before its timing
+    # counts. The comparison runs fully on-device; only an f32 relative
+    # max-error is fetched.
+    ref_out = None
+
+    def _validated(name, f, args, adjust):
+        nonlocal ref_out
+        if name == "xla":
+            return
+        if ref_out is None:
+            ref_out = jax.jit(paths["xla"][0])(D, v)
+        err = float(jax.jit(
+            lambda *a: (jnp.max(jnp.abs(f(*a) * adjust - ref_out))
+                        / jnp.max(jnp.abs(ref_out))).astype(jnp.float32)
+        )(*args))
+        tol = 1e-4 if dtype == "complex64" else 1e-10
+        if not err < tol:
+            raise RuntimeError(f"numerics mismatch vs xla: rel err {err:.2e}")
+
     errs = {}
     times = {}
     for attempt in range(tries):
-        for name, (f, args, nbytes) in paths.items():
+        for name, (f, args, nbytes, adjust) in paths.items():
             if name in times:
                 continue
             # each path measured + retried independently: a Pallas path
             # failing to lower on the relay must not forfeit the XLA
             # measurement (the headline is the best surviving path)
             try:
+                _validated(name, f, args, adjust)
                 # perturb program content on retry (fresh compile)
                 dt = time_op(f, *args, reps=reps + attempt)
-                # physical sanity gate: a streaming working set (> 1.5x
-                # VMEM) cannot beat the HBM roofline — fraction > 1.0 means
-                # the timing (or the relay) lied, so reject it outright
-                # (round-1 recorded an impossible 1.94 fraction; never
-                # again). VMEM-resident sets may legitimately exceed
-                # nominal HBM BW; cap those at the arch's VMEM advantage.
-                streaming = nbytes > int(1.5 * 16 * 1024 * 1024)
+                # physical sanity gate: a working set larger than the
+                # chip's PHYSICAL VMEM cannot beat the HBM roofline —
+                # fraction > 1.0 there means the timing (or the relay)
+                # lied, so reject it outright (round-1 recorded an
+                # impossible 1.94; never again). Anything smaller may be
+                # legitimately VMEM-resident (the 64 MiB raised scoped
+                # limit + XLA loop-invariant hoisting keep ~100 MB sets
+                # on-chip — measured: a 28 MB links-only set sustained
+                # 1.18x nominal HBM BW), so those are labeled
+                # resident-capable and capped at the VMEM advantage.
+                streaming = nbytes > VMEM_PHYS
                 min_dt = nbytes / peak if streaming else nbytes / (30 * peak)
                 if dt < min_dt:
                     raise RuntimeError(
@@ -324,7 +362,9 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
     for attempt in range(tries):
         try:
             dt = time_op(jax.vmap(apply_D), D, v, reps=reps + attempt)
-            if dt < nbytes / peak:   # streaming: roofline fraction <= 1.0
+            streaming = nbytes > VMEM_PHYS
+            min_dt = nbytes / peak if streaming else nbytes / (30 * peak)
+            if dt < min_dt:
                 raise RuntimeError("implausibly fast: relay did not run it")
             times["xla_batch"] = dt
             if on_partial:
@@ -572,11 +612,10 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
     the best nnz/s; 'streaming' means the working set cannot stay
     VMEM-resident across the timing loop's iterations (> 1.5x VMEM)."""
     nnz = batch * 5 * n * n * L * L
-    vmem = 16 * 1024 * 1024
     rows = {}
     for name, dt in times.items():
         b = path_bytes[name]
-        streaming = b > int(1.5 * vmem)
+        streaming = b > VMEM_PHYS
         rows[name] = {
             "sec_per_apply": dt, "bytes_per_apply": b,
             "achieved_bytes_per_s": b / dt, "nnz_per_s": nnz / dt,
@@ -642,6 +681,9 @@ PHASES = {
     # L>=256 program UNIMPLEMENTED): any real nnz/s beats the 0.0 fallback
     "stencil_128": lambda: phase_stencil(L=128, reps=100000),
     "stencil_batch": lambda: phase_stencil_batch(B=8, reps=2500),
+    # B=16 x 12.6 MB = 201 MB: beyond PHYSICAL VMEM, so genuinely
+    # HBM-streaming, in the relay-survivable L=256 program shape
+    "stencil_batch_16": lambda: phase_stencil_batch(B=16, reps=1500),
     "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=6000),
     "stencil_stream": lambda: phase_stencil(L=1024, reps=2000),
     "stencil_stream_768": lambda: phase_stencil(L=768, reps=3000),
@@ -805,7 +847,7 @@ def _print_headline(stream):
 # Order = expected value under the observed relay: one shot at the ideal
 # single-config L=1024 stream, then the batched-256 stream (the only
 # streaming shape the relay has ever completed), then the remaining rungs.
-_HEADLINE_PHASES = ("stencil_stream", "stencil_batch",
+_HEADLINE_PHASES = ("stencil_stream", "stencil_batch_16", "stencil_batch",
                     "stencil_stream_768", "stencil_stream_512",
                     "stencil_stream_384", "stencil_batch_3", "stencil",
                     "stencil_128")

@@ -141,6 +141,7 @@ def main():
         "stencil_batch_3": bench_phase("stencil_batch_3", 900),
         "stencil_stream_384": bench_phase("stencil_stream_384", 900),
         "stencil_batch": bench_phase("stencil_batch", 900),
+        "stencil_batch_16": bench_phase("stencil_batch_16", 900),
         "stencil_stream_512": bench_phase("stencil_stream_512", 900),
         "stencil_stream_768": bench_phase("stencil_stream_768", 900),
         "stencil_stream": bench_phase("stencil_stream", 1200),

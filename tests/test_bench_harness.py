@@ -68,14 +68,15 @@ def test_stencil_result_regime_labels(bench):
 
 
 def test_stencil_result_headline_from_best_streaming_path(bench):
-    # links-only path is faster on nnz/s but VMEM-resident at L=384; the
-    # headline must stay an honest roofline (best STREAMING path), with
-    # the resident winner reported alongside as the solver-regime figure
+    # links-only path is faster on nnz/s but VMEM-resident at L=1024
+    # (50 MB < physical VMEM); the headline must stay an honest roofline
+    # (best path whose working set exceeds PHYSICAL VMEM), with the
+    # resident winner reported alongside as the solver-regime figure
     peak = 819e9
     out = bench._stencil_result(
-        384, 2, peak, "TPU v5 lite",
+        1024, 2, peak, "TPU v5 lite",
         {"xla": 1e-3, "xla_u": 1e-4},
-        {"xla": int(28.3e6), "xla_u": int(7.1e6)})
+        {"xla": int(201e6), "xla_u": int(50e6)})
     assert out["best_path"] == "xla"
     assert out["regime"] == "hbm_streaming"
     assert 0 < out["roofline_fraction"] < 1.0
@@ -88,6 +89,21 @@ def test_stencil_result_headline_from_best_streaming_path(bench):
     assert out2["best_path"] == "xla_u"
     assert "effective_bw_fraction" in out2
     assert "solver_regime_best" not in out2
+
+
+def test_streaming_threshold_is_physical_vmem(bench):
+    # a 100 MB set can be kept on-chip (64 MiB scoped limit + hoisting,
+    # 128 MiB physical VMEM on v5e) — it must NOT be granted a roofline
+    peak = 819e9
+    out = bench._stencil_result(
+        256, 2, peak, "TPU v5 lite",
+        {"xla_batch": 1e-4}, {"xla_batch": int(100e6)}, batch=8)
+    assert out["regime"] == "vmem_resident"
+    assert "roofline_fraction" not in out
+    out2 = bench._stencil_result(
+        256, 2, peak, "TPU v5 lite",
+        {"xla_batch": 3e-4}, {"xla_batch": int(201e6)}, batch=16)
+    assert out2["regime"] == "hbm_streaming"
 
 
 def test_load_rung_rejects_cpu_for_tpu_phases(bench):
