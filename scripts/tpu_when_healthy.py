@@ -155,7 +155,21 @@ def main():
                    1200),
         "mg_vs_mr": bench_phase("mg_vs_mr", 1200),
     }
-    done = {k: os.path.exists(v[1]) for k, v in tasks.items()}
+    def task_done(name, marker):
+        if not os.path.exists(marker):
+            return False
+        # the kernel-comparison rungs are only complete once at least two
+        # paths measured (shaky windows often land xla alone; a better
+        # window should fill in the links-only/Pallas comparison)
+        if name in ("stencil", "stencil_stream"):
+            try:
+                with open(marker) as f:
+                    return len(json.load(f).get("paths", {})) >= 2
+            except Exception:
+                return False
+        return True
+
+    done = {k: task_done(k, v[1]) for k, v in tasks.items()}
     while time.time() < deadline and not all(done.values()):
         ok, msg = run_sub(PROBE, 180)
         if not ok:
@@ -171,7 +185,7 @@ def main():
                 continue
             is_code = isinstance(payload, str)
             ok, msg = run_sub(payload, tmo, is_code=is_code)
-            done[name] = os.path.exists(marker)
+            done[name] = task_done(name, marker)
             print(f"  task {name}: ok={ok} done={done[name]} {msg[-80:]}",
                   flush=True)
             if not (ok or done[name]):
