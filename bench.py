@@ -231,8 +231,11 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     # `adjust` maps the path's output onto the xla reference's
     # normalization for the numerics gate (the links-only forms compute
     # the UNSCALED apply_D).
+    from tpu_multigrid.ops.stencil import apply_D_unrolled
     paths = {"xla": (lambda D, v: apply_D(D, v) * scale, (D, v),
-                     dense_bytes, 1.0)}
+                     dense_bytes, 1.0),
+             "xla_unroll": (lambda D, v: apply_D_unrolled(D, v) * scale,
+                            (D, v), dense_bytes, 1.0)}
     if stencil == "wilson":
         from tpu_multigrid.ops.gauge_stencil import apply_wilson_u
         paths["xla_u"] = (
@@ -686,6 +689,9 @@ PHASES = {
     "stencil_batch_16": lambda: phase_stencil_batch(B=16, reps=1500),
     "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=6000),
     "stencil_stream": lambda: phase_stencil(L=1024, reps=2000),
+    # L=2048: the links-only operator (201 MB) also exceeds physical VMEM,
+    # so the spin-projected path gets an honest streaming roofline too
+    "stencil_stream_2048": lambda: phase_stencil(L=2048, reps=500),
     "stencil_stream_768": lambda: phase_stencil(L=768, reps=3000),
     "stencil_stream_512": lambda: phase_stencil(L=512, reps=6000),
     "stencil_stream_384": lambda: phase_stencil(L=384, reps=10000),
@@ -847,7 +853,8 @@ def _print_headline(stream):
 # Order = expected value under the observed relay: one shot at the ideal
 # single-config L=1024 stream, then the batched-256 stream (the only
 # streaming shape the relay has ever completed), then the remaining rungs.
-_HEADLINE_PHASES = ("stencil_stream", "stencil_batch_16", "stencil_batch",
+_HEADLINE_PHASES = ("stencil_stream_2048",
+                    "stencil_stream", "stencil_batch_16", "stencil_batch",
                     "stencil_stream_768", "stencil_stream_512",
                     "stencil_stream_384", "stencil_batch_3", "stencil",
                     "stencil_128")

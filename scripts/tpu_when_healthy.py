@@ -145,6 +145,7 @@ def main():
         "stencil_stream_512": bench_phase("stencil_stream_512", 900),
         "stencil_stream_768": bench_phase("stencil_stream_768", 900),
         "stencil_stream": bench_phase("stencil_stream", 1200),
+        "stencil_stream_2048": bench_phase("stencil_stream_2048", 1200),
         "entry": (ENTRY, "/tmp/entry_check.json", 900),
         "solve64": (SOLVE64, "/tmp/solve64_check.json", 1500),
         "solve256": bench_phase("solve256", 1500),

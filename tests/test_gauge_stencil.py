@@ -54,3 +54,21 @@ def test_smooth_u_multi_sweep():
         dense = smoothers.rbgs_sweep(D, Dinv, dense, r)
     compact = gs.smooth_u("wilson", U, 0.1, v, r, 3, "rbgs")
     assert float(jnp.max(jnp.abs(dense - compact))) < 1e-11
+
+
+def test_apply_D_unrolled_matches_einsum():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_multigrid.models import gauge, operators
+    from tpu_multigrid.ops.stencil import apply_D, apply_D_unrolled
+
+    rng = np.random.default_rng(11)
+    for stencil, n in (("laplace", 1), ("wilson", 2)):
+        U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, 12, 12)),
+                                    jnp.complex128)
+        D = operators.assemble(stencil, U, -0.03)
+        v = jnp.asarray(rng.normal(size=(n, 12, 12))
+                        + 1j * rng.normal(size=(n, 12, 12)))
+        np.testing.assert_allclose(np.asarray(apply_D_unrolled(D, v)),
+                                   np.asarray(apply_D(D, v)),
+                                   rtol=1e-13, atol=1e-13)

@@ -48,6 +48,29 @@ def apply_D(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return _site_matvec(D[SAME], v) + apply_hop(D, v)
 
 
+def apply_D_unrolled(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """apply_D with the (tiny) dof contractions unrolled into a pure
+    elementwise graph over [L, L] planes.
+
+    The einsum form lowers to per-direction dot_generals whose results
+    XLA materializes (measured: the dense streaming path sustains only
+    ~0.27 of the minimum-traffic roofline at L=1024 — ~4x redundant HBM
+    traffic). Here every operation is an elementwise multiply-add over
+    lattice planes, which XLA fuses into a single bandwidth-bound pass:
+    each D plane is read exactly once. Identical math (n is 1/2/4)."""
+    n = v.shape[0]
+    vs = (v, shift(v, XP), shift(v, XM), shift(v, YP), shift(v, YM))
+    rows = []
+    for i in range(n):
+        acc = None
+        for d in range(5):
+            for j in range(n):
+                t = D[d, i, j] * vs[d][j]
+                acc = t if acc is None else acc + t
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
 def residual(D: jnp.ndarray, phi: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """b - D phi (reference Level::f_residue, level.h:61-77)."""
     return r - apply_D(D, phi)
