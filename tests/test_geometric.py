@@ -83,3 +83,23 @@ def test_geo_solve_ir_matches_f64():
     assert it_ir <= it64 + 4       # same contraction regime
     np.testing.assert_allclose(phi_ir, phi64, rtol=0, atol=1e-11 *
                                np.max(np.abs(phi64)))
+
+
+def test_residual_floor_estimate_scale():
+    """geo_residual_floor ~ eps * sum(per-site term magnitudes): positive,
+    scales with eps(dtype), and sits orders below the initial residual but
+    above zero for a converged phi."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_multigrid.solver.geometric import (GeoConfig, geo_source,
+                                                geo_residual_floor)
+
+    cfg = GeoConfig(L=32, nlevels=3, dtype="float64")
+    b = geo_source(cfg)
+    phi = jnp.ones((32, 32), jnp.float64)
+    f64 = geo_residual_floor(phi, b, cfg)
+    f32 = geo_residual_floor(phi.astype(jnp.float32),
+                             b.astype(jnp.float32), cfg)
+    assert 0 < f64 < 1e-9
+    # eps ratio between f32 and f64 is ~2^29
+    assert 1e7 < f32 / f64 < 1e10
