@@ -190,7 +190,7 @@ def _write_partial(result: dict):
 
 
 def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
-                  tries=2, on_partial=None):
+                  tries=2, on_partial=None, skip=()):
     """Time reps x apply_D in one jitted fori_loop per path — XLA dense,
     XLA spin-projected (links-only), and the fused Pallas kernels where
     applicable (whole-in-VMEM at small L, x-tiled at large L; dense and
@@ -255,6 +255,17 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
             lambda U, v: ps.apply_wilson_u_pallas(U, cfg.m, v), (U, v),
             u_bytes, scale)
 
+    xla_ref_fn = paths["xla"][0]   # numerics reference, even if skipped
+    # paths already banked by an earlier invocation are skipped, so the
+    # fresh (unpoisoned) process spends its first — most likely to
+    # succeed — program on a MISSING path: one relay failure poisons the
+    # child for all later paths, which is how shaky windows used to
+    # produce xla-only rungs lap after lap.
+    for name in skip:
+        paths.pop(name, None)
+    if not paths:        # rung already complete: nothing left to measure
+        return {}, n, {}, None
+
     peak, _ = device_peak_bw()
 
     from tpu_multigrid.profiling import time_op
@@ -271,7 +282,7 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
         if name == "xla":
             return
         if ref_out is None:
-            ref_out = jax.jit(paths["xla"][0])(D, v)
+            ref_out = jax.jit(xla_ref_fn)(D, v)
         err = float(jax.jit(
             lambda *a: (jnp.max(jnp.abs(f(*a) * adjust - ref_out))
                         / jnp.max(jnp.abs(ref_out))).astype(jnp.float32)
@@ -316,12 +327,13 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                                {k: paths[k][2] for k in paths})
             except Exception as e:  # transient backend failure: retry
                 errs[name] = f"try{attempt}: " + str(e)[:120]
-        if "xla" in times and len(times) == len(paths):
+        have_ref = "xla" in times or "xla" in skip
+        if have_ref and len(times) == len(paths):
             break
-        if "xla" in times and attempt >= 1:
+        if have_ref and attempt >= 1:
             break   # give failing alt paths one extra shot, then move on
         time.sleep(3)
-    if not times:
+    if not times and not skip:
         raise RuntimeError(
             f"stencil bench failed after {tries} tries: {errs}")
     path_bytes = {name: paths[name][2] for name in paths}
@@ -655,13 +667,25 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
     return out
 
 
-def phase_stencil(L=256, reps=200):
+def phase_stencil(L=256, reps=200, phase=None):
+    """One stencil rung. With `phase`, paths measured by an earlier
+    invocation (persisted in its rung) are skipped and merged back in, so
+    successive shaky-window laps each add at least one missing path
+    instead of re-measuring xla and dying on the same poisoned process."""
     peak, kind = device_peak_bw()
     n_guess = 2  # wilson
+    prior = _load_rung(phase) if phase else None
+    merged = {}
+    if prior and prior.get("L") == L and "paths" in prior:
+        merged = {k: (v["sec_per_apply"], v["bytes_per_apply"])
+                  for k, v in prior["paths"].items()}
     times, n, path_bytes, warn = bench_stencil(
-        L=L, reps=reps,
+        L=L, reps=reps, skip=set(merged),
         on_partial=lambda t, pb: _write_partial(
             _stencil_result(L, n_guess, peak, kind, t, pb, "partial")))
+    for k, (dt, b) in merged.items():
+        times.setdefault(k, dt)
+        path_bytes.setdefault(k, b)
     return _stencil_result(L, n, peak, kind, times, path_bytes, warn)
 
 
@@ -679,22 +703,23 @@ def phase_stencil_batch(B=8, reps=30):
 # small-reps runs produced per-apply signals of 1-3 ms and the resident
 # L=256 pallas_u number swung 5x between runs purely from latency noise.
 PHASES = {
-    "stencil": lambda: phase_stencil(L=256, reps=50000),
+    "stencil": lambda: phase_stencil(L=256, reps=50000, phase="stencil"),
     # last-resort rung for the worst shaky windows (canary passes, every
     # L>=256 program UNIMPLEMENTED): any real nnz/s beats the 0.0 fallback
-    "stencil_128": lambda: phase_stencil(L=128, reps=100000),
+    "stencil_128": lambda: phase_stencil(L=128, reps=100000,
+                                         phase="stencil_128"),
     "stencil_batch": lambda: phase_stencil_batch(B=8, reps=2500),
     # B=16 x 12.6 MB = 201 MB: beyond PHYSICAL VMEM, so genuinely
     # HBM-streaming, in the relay-survivable L=256 program shape
     "stencil_batch_16": lambda: phase_stencil_batch(B=16, reps=1500),
     "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=6000),
-    "stencil_stream": lambda: phase_stencil(L=1024, reps=2000),
+    "stencil_stream": lambda: phase_stencil(L=1024, reps=2000, phase="stencil_stream"),
     # L=2048: the links-only operator (201 MB) also exceeds physical VMEM,
     # so the spin-projected path gets an honest streaming roofline too
-    "stencil_stream_2048": lambda: phase_stencil(L=2048, reps=500),
-    "stencil_stream_768": lambda: phase_stencil(L=768, reps=3000),
-    "stencil_stream_512": lambda: phase_stencil(L=512, reps=6000),
-    "stencil_stream_384": lambda: phase_stencil(L=384, reps=10000),
+    "stencil_stream_2048": lambda: phase_stencil(L=2048, reps=500, phase="stencil_stream_2048"),
+    "stencil_stream_768": lambda: phase_stencil(L=768, reps=3000, phase="stencil_stream_768"),
+    "stencil_stream_512": lambda: phase_stencil(L=512, reps=6000, phase="stencil_stream_512"),
+    "stencil_stream_384": lambda: phase_stencil(L=384, reps=10000, phase="stencil_stream_384"),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
     "solve256": bench_solve256,
     "ensemble8": bench_ensemble,
