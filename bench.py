@@ -275,6 +275,18 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
     # alternative path must reproduce the XLA reference before its timing
     # counts. The comparison runs fully on-device; only an f32 relative
     # max-error is fetched.
+    #
+    # Relay discipline (the round-3/4 lesson): this gate used to close
+    # over ref_out inside a plain jax.jit — the captured complex device
+    # array is re-embedded as a jit CONSTANT, i.e. a complex host->device
+    # transfer, the exact relay failure class CLAUDE.md documents; plain
+    # jit dispatch is additionally UNIMPLEMENTED-prone where the AOT
+    # lower().compile() path is not (utils/compile.py). Net effect:
+    # EVERY alternative path failed 'UNIMPLEMENTED' at validation, in
+    # every window, for two rounds — while the validation-free xla path
+    # sailed through. ref_out is now an explicit device-resident argument
+    # and both programs compile via aot_call.
+    from tpu_multigrid.utils.compile import aot_call
     ref_out = None
 
     def _validated(name, f, args, adjust):
@@ -282,11 +294,13 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
         if name == "xla":
             return
         if ref_out is None:
-            ref_out = jax.jit(xla_ref_fn)(D, v)
-        err = float(jax.jit(
-            lambda *a: (jnp.max(jnp.abs(f(*a) * adjust - ref_out))
-                        / jnp.max(jnp.abs(ref_out))).astype(jnp.float32)
-        )(*args))
+            ref_out = aot_call(xla_ref_fn, D, v,
+                               key=("bench_ref", L, stencil, dtype))
+        err = float(aot_call(
+            lambda ref, *a: (jnp.max(jnp.abs(f(*a) * adjust - ref))
+                             / jnp.max(jnp.abs(ref))).astype(jnp.float32),
+            ref_out, *args,
+            key=("bench_val", id(f), L, stencil, dtype)))
         tol = 1e-4 if dtype == "complex64" else 1e-10
         if not err < tol:
             raise RuntimeError(f"numerics mismatch vs xla: rel err {err:.2e}")
@@ -349,11 +363,11 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
     failed with UNIMPLEMENTED), but L=256 programs run fine. The batch
     axis is also the production multi-RHS/ensemble shape
     (solver/ensemble.py), so this is a real workload, not a synthetic.
-    B=3 (~38 MB: the smallest batch whose working set strictly exceeds
-    the 1.5x-VMEM streaming threshold) is the shaky-window fallback —
-    observed windows pass the tiny canary yet fail every B=8 / L>=512
-    program, so the streaming ladder needs a rung barely above the
-    threshold."""
+    The honest streaming threshold is PHYSICAL VMEM (128 MiB): B=16
+    (201 MB) is the streaming rung; B=8 (~100 MB) and B=3 (~38 MB) are
+    shaky-window fallbacks that report vmem_resident effective-bandwidth
+    figures, not rooflines — observed windows pass the tiny canary yet
+    fail every B=16 / L>=512 program, so the ladder keeps small rungs."""
     import jax
     import jax.numpy as jnp
     import tpu_multigrid as mg
@@ -500,6 +514,97 @@ def bench_solve256(tries=2):
     return {"error": err}
 
 
+def bench_solve256_ir(tries=2):
+    """The literal BASELINE solve on the accelerator: wilson 256^2 NTL
+    -> relative residual 1e-8 AND the reference's own 1e-13 criterion
+    (params.h:67), via mixed-precision iterative refinement
+    (driver.solve_ir): setup + all MG cycle FLOPs in complex64 (the TPU
+    fast path incl. Pallas smoothers), one exact complex128 stencil
+    apply per outer step. The reference runs uniformly double on one CPU
+    thread: 15 cycles to 1e-8, 28 to 1e-13, 164.6 s total incl. setup
+    (modules_main.h:442-481 loop; measured via scripts/reference_oracle).
+
+    Also reports setup_seconds_warm: a second hierarchy build with a
+    FRESH gauge configuration at identical shapes, i.e. the compile-free
+    setup cost (VERDICT r3 asked for the compile/compute split)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import tpu_multigrid as mg
+    from tpu_multigrid.solver.driver import solve_ir
+
+    L = 256
+    cfg64 = mg.MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=3,
+                        ntl=True, num_iters=4, null_iters=100,
+                        dtype="complex64", res_threshold=1e-6,
+                        smoother="rbgs")
+    rng = np.random.default_rng(cfg64.seed)
+    phases = 0.2 * rng.normal(size=(2, L, L))
+    U64 = mg.models.gauge.gauge_from_phases(phases, cfg64.cdtype)
+    D64 = mg.models.operators.assemble("wilson", U64, cfg64.m)
+    cfg128 = cfg64.replace(dtype="complex128")
+    U128 = mg.models.gauge.gauge_from_phases(phases, cfg128.cdtype)
+    D128 = mg.models.operators.assemble("wilson", U128, cfg128.m)
+    b = mg.point_source(cfg128)
+    # fresh gauge config at identical shapes for the warm-setup rebuild
+    phases2 = 0.2 * rng.normal(size=(2, L, L))
+    U64b = mg.models.gauge.gauge_from_phases(phases2, cfg64.cdtype)
+    D64b = mg.models.operators.assemble("wilson", U64b, cfg64.m)
+
+    err = None
+    for attempt in range(tries):
+        try:
+            t0 = time.perf_counter()
+            hier = mg.build_hierarchy(D64, cfg64, check=False)
+            jax.block_until_ready(hier.levels[0].D0inv)
+            t_setup = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            hier2 = mg.build_hierarchy(D64b, cfg64, check=False)
+            jax.block_until_ready(hier2.levels[0].D0inv)
+            t_setup_warm = time.perf_counter() - t0
+            del hier2
+
+            ir = lambda thr, mi: solve_ir(
+                hier, b, cfg128.replace(res_threshold=thr),
+                inner_cycles=2, max_iters=mi, D_outer=D128)
+            out = ir(1e-13, 200)            # cold: compiles the step
+            t0 = time.perf_counter()
+            out8 = ir(1e-8, 200)            # warm (same executable)
+            t_8 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out13 = ir(1e-13, 200)
+            t_13 = time.perf_counter() - t0
+            if not (out8.converged and out13.converged):
+                raise RuntimeError(
+                    f"not converged: {out8.resmag:.2e}/{out13.resmag:.2e} "
+                    f"after {out8.iters}/{out13.iters}")
+            ref = _REF_FLAGSHIP_CPU
+            return {"L": L, "mode": "ir c64 cycles + c128 defect",
+                    "cycles_to_1e-8": out8.iters,
+                    "res_1e-8": out8.resmag,
+                    "seconds_to_1e-8_warm": t_8,
+                    "cycles_to_1e-13": out13.iters,
+                    "res_1e-13": out13.resmag,
+                    "seconds_to_1e-13_warm": t_13,
+                    "sec_per_cycle_warm": t_13 / max(out13.iters, 1),
+                    "history_1e-13": [float(h) for h in out13.history],
+                    "setup_seconds": t_setup,
+                    "setup_seconds_warm": t_setup_warm,
+                    "total_seconds_warm_setup_plus_1e-13":
+                        t_setup_warm + t_13,
+                    "ref_cycles_to_1e-8": ref["cycles_to_1e-8"],
+                    "ref_cycles_to_1e-13": ref["cycles_to_1e-13"],
+                    "ref_total_seconds_to_1e-13":
+                        ref["total_seconds_to_1e-13"],
+                    "speedup_total_vs_ref":
+                        ref["total_seconds_to_1e-13"]
+                        / (t_setup_warm + t_13),
+                    "device_kind": jax.devices()[0].device_kind}
+        except Exception as e:
+            err = str(e)[:200]
+            time.sleep(3)
+    return {"error": err}
+
+
 def bench_ensemble(B=8, L=128, tries=2):
     """Production 'serving' workload: B independent gauge configurations
     -> batched adaptive setup + batched fixed-cycle NTL solve as ONE
@@ -639,14 +744,23 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
     # Paths may sit in different regimes at the same L (the spin-projected
     # links-only operator is ~4x smaller than dense D, so it stays
     # VMEM-resident up to L=512 while the dense path already streams). The
-    # HEADLINE must be an honest roofline, so it comes from the best
-    # STREAMING path whenever one was measured; a VMEM-resident path that
-    # beats it on nnz/s is reported alongside as the solver-regime figure.
+    # HEADLINE must be an honest roofline, so it comes from a STREAMING
+    # path whenever one was measured — specifically the one with the BEST
+    # ROOFLINE FRACTION (the BASELINE metric is '>= 60% of the stencil-
+    # SpMV HBM roofline'; protocol v3, docs/PERF.md §9). nnz/s across
+    # different operator representations is not comparable (the links-only
+    # form does identical math with ~4x less data), so the highest-nnz/s
+    # streaming path is reported alongside as `fastest_streaming`, and a
+    # VMEM-resident path that beats everything on nnz/s as
+    # `solver_regime_best`.
     best_any = max(rows, key=lambda k: rows[k]["nnz_per_s"])
     streaming_rows = [k for k in rows
                       if rows[k]["regime"] == "hbm_streaming"]
-    best = (max(streaming_rows, key=lambda k: rows[k]["nnz_per_s"])
+    best = (max(streaming_rows, key=lambda k: rows[k]["bw_fraction"])
             if streaming_rows else best_any)
+    fastest_streaming = (max(streaming_rows,
+                             key=lambda k: rows[k]["nnz_per_s"])
+                         if streaming_rows else None)
     out = {"device_kind": kind, "hbm_peak_bytes_per_s": peak,
            "L": L, "n": n, "paths": rows, "best_path": best,
            "sec_per_apply": rows[best]["sec_per_apply"],
@@ -661,7 +775,10 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
         # operands stay VMEM-resident across fori_loop iterations: the
         # effective bandwidth can exceed nominal HBM BW; not a roofline.
         out["effective_bw_fraction"] = rows[best]["bw_fraction"]
-    if best_any != best:
+    if fastest_streaming and fastest_streaming != best:
+        out["fastest_streaming"] = {
+            "path": fastest_streaming, **rows[fastest_streaming]}
+    if best_any != best and rows[best_any]["regime"] != "hbm_streaming":
         out["solver_regime_best"] = {
             "path": best_any, **rows[best_any]}
     return out
@@ -683,10 +800,20 @@ def phase_stencil(L=256, reps=200, phase=None):
         L=L, reps=reps, skip=set(merged),
         on_partial=lambda t, pb: _write_partial(
             _stencil_result(L, n_guess, peak, kind, t, pb, "partial")))
+    fresh = set(times)
     for k, (dt, b) in merged.items():
         times.setdefault(k, dt)
         path_bytes.setdefault(k, b)
-    return _stencil_result(L, n, peak, kind, times, path_bytes, warn)
+    out = _stencil_result(L, n, peak, kind, times, path_bytes, warn)
+    # provenance: merged-in entries are banked measurements from an
+    # earlier invocation (possibly an older timing protocol), not this
+    # run's — tag them so the rung file stays honest about which is which
+    for k in merged:
+        if k not in fresh and k in out["paths"]:
+            out["paths"][k]["cached"] = True
+            if prior and prior.get("measured_at"):
+                out["paths"][k]["cached_from"] = prior["measured_at"]
+    return out
 
 
 def phase_stencil_batch(B=8, reps=30):
@@ -722,6 +849,7 @@ PHASES = {
     "stencil_stream_384": lambda: phase_stencil(L=384, reps=10000, phase="stencil_stream_384"),
     "mg_vs_mr": lambda: bench_mg_vs_mr(L=256),
     "solve256": bench_solve256,
+    "solve256_ir": bench_solve256_ir,
     "ensemble8": bench_ensemble,
     "geo2048": bench_geo2048,
 }
@@ -1018,6 +1146,7 @@ def main():
     for key, phase in [("stencil_resident_256", "stencil"),
                        ("mg_vs_mr", "mg_vs_mr"),
                        ("solve256", "solve256"),
+                       ("solve256_ir", "solve256_ir"),
                        ("geo2048", "geo2048")]:
         if key in details:
             continue

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="complex128")
+    ap.add_argument("--out", default=None,
+                    help="write the results JSON (with run metadata) here")
     args = ap.parse_args()
 
     import jax
@@ -47,9 +49,10 @@ def main():
                          nlevels=2 if q else 5, num_iters=20,
                          res_threshold=1e-10, smoother="jacobi")
     b = geo.geo_source(gcfg)
-    phi, iters, res, _ = geo.geo_solve(b, gcfg, max_iters=500)
+    phi, iters, res, hist = geo.geo_solve(b, gcfg, max_iters=500)
     results["1_geometric_laplace_64"] = {
         "iters": iters, "res": res, "converged": res < 1e-10,
+        "history": [float(h) for h in hist],
         "seconds": time.time() - t0}
 
     def adaptive(name, **kw):
@@ -61,10 +64,11 @@ def main():
         U = gauge.gauge_from_phases(theta, cfg.cdtype)
         D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
         hier = mg.build_hierarchy(D, cfg, check=False)
-        out = mg.solve_chunked(hier, mg.point_source(cfg), cfg,
-                               max_iters=500, chunk=5)
+        out = mg.solve_with_history(hier, mg.point_source(cfg), cfg,
+                                    max_iters=500)
         results[name] = {"iters": out.iters, "res": out.resmag,
                          "converged": out.converged,
+                         "history": [float(h) for h in out.history],
                          "plaquette": float(np.real(
                              np.asarray(gauge.plaquette(U)))),
                          "seconds": time.time() - t0}
@@ -126,6 +130,13 @@ def main():
     print(json.dumps(results, indent=2, default=float))
     ok = all(r.get("converged") for r in results.values())
     print("ALL CONVERGED" if ok else "SOME FAILED")
+    if args.out:
+        rec = {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+               "device_kind": jax.devices()[0].device_kind,
+               "dtype": args.dtype, "quick": bool(q),
+               "all_converged": ok, "configs": results}
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2, default=float)
     return 0 if ok else 1
 
 

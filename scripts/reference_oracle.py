@@ -146,12 +146,18 @@ def run_final_gen(L: int, num_iters: int, block: int, m: float,
                           f'stencil        = "{stencil}";')
             with open(pth, "w") as f:
                 f.write(s)
-        # timestamp every iteration print (monotonic seconds since start)
-        # so seconds/cycle and setup-vs-solve split can be measured; the
-        # patched copy lives only in the temp build dir
+        # timestamp every iteration print (CPU seconds since process
+        # start — clock() is CPU time, which equals wall time for the
+        # single-threaded reference) so seconds/cycle and setup-vs-solve
+        # split can be measured; the patched copy lives only in the temp
+        # build dir
         pmm = os.path.join(src_dir, "modules_main.h")
         with open(pmm) as f:
             s = f.read()
+        if "#include <ctime>" not in s:
+            # clock()/CLOCKS_PER_SEC need <ctime>; don't rely on a
+            # transitive libstdc++ include
+            s = "#include <ctime>\n" + s
         s = s.replace(
             'printf("\\nAt iteration %d, the mag residue is %g",iter,'
             'resmag);',

@@ -131,7 +131,8 @@ def solve_fmg(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
 
 def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
              inner_cycles: int = 2, max_iters: Optional[int] = None,
-             inner_dtype: str = "complex64") -> SolveResult:
+             inner_dtype: str = "complex64",
+             D_outer: Optional[jnp.ndarray] = None) -> SolveResult:
     """Mixed-precision iterative refinement (defect correction).
 
     Outer loop in cfg.dtype (complex128 for the reference's 1e-13
@@ -143,8 +144,12 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     accuracy is reached with only one f64 stencil apply per outer step —
     on TPU, where f64 is software-emulated, nearly all FLOPs stay f32.
 
-    The hierarchy must be built in cfg.dtype; the inner-precision view is
-    a cast (cast_hierarchy). No reference analog (the reference is
+    The hierarchy may be built in cfg.dtype (the inner-precision view is
+    then a cast, cast_hierarchy) — or, faster on TPU, built directly in
+    `inner_dtype` with the EXACT level-0 operator passed as `D_outer`
+    (cfg.cdtype): the coarse levels are preconditioner-only, so their
+    precision never bounds the final accuracy, while setup runs entirely
+    on the f32 fast path. No reference analog (the reference is
     uniformly double, templates.h ColorMatrix = complex<double>).
     """
     from ..utils.compile import aot_call
@@ -153,11 +158,14 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     max_iters = max_iters or cfg.max_iters
     cfg_in = cfg.replace(dtype=inner_dtype)
     hier_in = cast_hierarchy(hier, cfg_in.cdtype)
+    if D_outer is None:
+        D_outer = hier.levels[0].D
+    D_outer = D_outer.astype(cfg.cdtype)
     from ..utils.xfer import device_full
     phi = device_full((cfg.n_dof[0], cfg.L, cfg.L), 0.0, cfg.cdtype)
     r = b
 
-    def step(hier, hier_in, phi, r, b):
+    def step(D_outer, hier_in, phi, r, b):
         rn = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
         safe = jnp.where(rn > 0, rn, 1.0)
         r_in = (r / safe).astype(cfg_in.cdtype)
@@ -169,7 +177,7 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
 
         es = jax.lax.fori_loop(0, inner_cycles, body, es)
         phi = phi + safe * es[0].astype(phi.dtype)
-        r = residual(hier.levels[0].D, phi, b)
+        r = residual(D_outer, phi, b)
         rel = (jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))
                / jnp.sqrt(jnp.sum(jnp.abs(b) ** 2)))
         return phi, r, rel
@@ -178,8 +186,12 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     resmag = float("inf")
     outer = 0
     while outer * inner_cycles < max_iters:
-        phi, r, rel = aot_call(step, hier, hier_in, phi, r, b,
-                               key=("ir", cfg, inner_dtype, inner_cycles))
+        # threshold-independent key: the step program never reads
+        # res_threshold (the host loop checks it), so 1e-8 and 1e-13
+        # solves share one executable
+        phi, r, rel = aot_call(step, D_outer, hier_in, phi, r, b,
+                               key=("ir", cfg.replace(res_threshold=0.0),
+                                    inner_dtype, inner_cycles))
         outer += 1
         resmag = float(rel)
         history.append(resmag)

@@ -83,7 +83,13 @@ def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
     from ..utils.compile import aot_call
 
     if mesh is not None:
-        hier_b, bs = shard_ensemble((hier_b, bs), mesh)
+        if bs.shape[0] % mesh.devices.size:
+            raise ValueError(
+                f"ensemble batch {bs.shape[0]} must divide the mesh's "
+                f"{mesh.devices.size} devices (shard_ensemble would "
+                "silently replicate the whole ensemble otherwise)")
+        hier_b, bs = shard_ensemble((hier_b, bs), mesh,
+                                    batch=bs.shape[0])
 
     def one(h, b):
         phis = zero_fields(cfg)
@@ -102,15 +108,23 @@ def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
     return host_complex(phi), np.asarray(res)
 
 
-def shard_ensemble(tree, mesh):
+def shard_ensemble(tree, mesh, batch=None):
     """Shard every array leaf's leading (configuration) axis over the
-    single mesh axis; scalars/short leaves are replicated."""
+    single mesh axis; scalars/short leaves are replicated.
+
+    batch: when given, only leaves whose leading dim EQUALS the batch
+    size are sharded (a non-batch leading axis that merely divides the
+    device count must not be split across configurations)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
 
     def put(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % ndev == 0:
+        lead = getattr(x, "shape", (0,))[0] if getattr(x, "ndim", 0) >= 1 \
+            else 0
+        is_batch = (lead == batch) if batch is not None \
+            else (lead and lead % ndev == 0)
+        if is_batch and lead % ndev == 0:
             return jax.device_put(x, NamedSharding(mesh, P(axis)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 

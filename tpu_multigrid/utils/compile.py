@@ -16,6 +16,41 @@ import jax
 
 _cache: dict = {}
 
+# Default on-disk XLA compilation cache location (enable_persistent_cache).
+DEFAULT_CACHE_DIR = os.environ.get(
+    "TPU_MG_COMPILE_CACHE", os.path.expanduser("~/.cache/tpu_multigrid_xla"))
+
+_persistent_enabled = False
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Enable JAX's on-disk XLA compilation cache.
+
+    Driver runs pay ~100 s of setup recompilation per process start
+    (per-(cfg,shape) aot_call executables); with the persistent cache a
+    second process start with the same shapes hits the disk cache and
+    skips XLA compilation entirely. Safe to call multiple times. Set
+    TPU_MG_COMPILE_CACHE=0 to disable. Returns the cache dir ('' if
+    disabled)."""
+    global _persistent_enabled
+    path = path or DEFAULT_CACHE_DIR
+    if not path or path == "0":
+        return ""
+    if not _persistent_enabled:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_enable_compilation_cache", True)
+        # cache every program: MG solves contain many medium programs
+        # whose individual XLA compile times sit below the 1 s default
+        # threshold (verified: with 0.2 nothing was written)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:
+            pass     # knob renamed/absent in some jax versions
+        _persistent_enabled = True
+    return path
+
 # TPU scoped-VMEM limit for compiled solver programs, KiB. The compiler's
 # default stack limit is 16 MiB; our whole-lattice Pallas smoother kernels
 # need ~20 MiB of scoped VMEM when embedded in a full MG-cycle program
