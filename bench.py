@@ -542,9 +542,17 @@ def bench_solve256_ir(tries=2):
     U64 = mg.models.gauge.gauge_from_phases(phases, cfg64.cdtype)
     D64 = mg.models.operators.assemble("wilson", U64, cfg64.m)
     cfg128 = cfg64.replace(dtype="complex128")
-    U128 = mg.models.gauge.gauge_from_phases(phases, cfg128.cdtype)
-    D128 = mg.models.operators.assemble("wilson", U128, cfg128.m)
-    b = mg.point_source(cfg128)
+    # the exact c128 operator and source are built on the HOST CPU
+    # backend and passed as numpy: the axon TPU compiler rejects C128
+    # programs outright ('Element type C128 is not supported'), so
+    # solve_ir runs its f64 outer step on real/imag planes (solve_ir
+    # planes mode) and complex128 never touches the accelerator
+    with jax.default_device(jax.devices("cpu")[0]):
+        U128 = mg.models.gauge.gauge_from_phases(phases, cfg128.cdtype)
+        D128 = np.asarray(
+            mg.models.operators.assemble("wilson", U128, cfg128.m))
+        b = np.zeros((cfg128.n_dof[0], L, L), np.complex128)
+        b[0, 2, 2] = 5.0       # reference point source r(2+2L)(0)=5.0
     # fresh gauge config at identical shapes for the warm-setup rebuild
     phases2 = 0.2 * rng.normal(size=(2, L, L))
     U64b = mg.models.gauge.gauge_from_phases(phases2, cfg64.cdtype)
@@ -1072,6 +1080,8 @@ def main():
         _PARTIAL_PATH = out + ".partial"
         result = PHASES[phase]()
         if "error" in result:
+            print(f"phase {phase} failed: {result['error']}",
+                  file=sys.stderr, flush=True)
             sys.exit(1)
         with open(out, "w") as f:
             json.dump(result, f, default=float)

@@ -44,16 +44,27 @@ def main():
     results = {}
 
     # ---- config 1: geometric-MG Laplace, Jacobi
-    t0 = time.time()
-    gcfg = geo.GeoConfig(L=64, m=0.5 if q else 0.05,
-                         nlevels=2 if q else 5, num_iters=20,
-                         res_threshold=1e-10, smoother="jacobi")
-    b = geo.geo_source(gcfg)
-    phi, iters, res, hist = geo.geo_solve(b, gcfg, max_iters=500)
-    results["1_geometric_laplace_64"] = {
-        "iters": iters, "res": res, "converged": res < 1e-10,
-        "history": [float(h) for h in hist],
-        "seconds": time.time() - t0}
+    # omega=0.8: undamped Jacobi does not smooth the checkerboard modes
+    # at small m (GeoConfig.omega note) — the m=0.05 run stalls at 4e-5
+    # with omega=1. Two variants: the literal BASELINE 2-level cycle
+    # (coarsest 32^2 grid only smoothed -> slow but converges) and the
+    # full-depth hierarchy (coarsest 2^2, the reference gen-1 shape).
+    for tag, nl in [("1_geometric_laplace_64", 2),
+                    ("1b_geometric_laplace_64_deep", 5)]:
+        t0 = time.time()
+        gcfg = geo.GeoConfig(L=64, m=0.5 if q else 0.05,
+                             nlevels=2 if q else nl, num_iters=20,
+                             res_threshold=1e-10, smoother="jacobi",
+                             omega=1.0 if q else 0.8)
+        b = geo.geo_source(gcfg)
+        phi, iters, res, hist = geo.geo_solve(b, gcfg, max_iters=500)
+        results[tag] = {
+            "iters": iters, "res": res, "converged": res < 1e-10,
+            "nlevels": gcfg.nlevels, "omega": gcfg.omega,
+            "history": [float(h) for h in hist],
+            "seconds": time.time() - t0}
+        if q:
+            break
 
     def adaptive(name, **kw):
         t0 = time.time()

@@ -32,9 +32,15 @@ U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)), cfg.cdtype)
 D = mg.models.operators.assemble(st, U, cfg.m)
 from tpu_multigrid.utils.xfer import device_complex
 v = device_complex(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L)), cfg.cdtype)
-out_p = ps.apply_D_pallas(D, v); jax.block_until_ready(out_p)
-out_x = stencil.apply_D(D, v)
-err = float(jnp.max(jnp.abs(out_p-out_x))/jnp.max(jnp.abs(out_x)))
+# numerics gate in ONE fused AOT program (plain jit dispatch and eager
+# complex comparisons are relay failure classes; see bench._validated)
+from tpu_multigrid.utils.compile import aot_call
+err = float(aot_call(
+    lambda D, v: (jnp.max(jnp.abs(ps.apply_D_pallas(D, v)
+                                  - stencil.apply_D(D, v)))
+                  / jnp.max(jnp.abs(stencil.apply_D(D, v)))
+                  ).astype(jnp.float32), D, v, key=("pb_val",)))
+assert err < 1e-4, f"pallas numerics mismatch {err}"
 Dinv = stencil.site_inverse(D[0]); r = mg.point_source(cfg)
 
 # fetch-based timing (relay block_until_ready is a no-op; see profiling)

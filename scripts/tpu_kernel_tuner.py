@@ -24,13 +24,17 @@ import jax, jax.numpy as jnp
 import tpu_multigrid as mg
 from tpu_multigrid.ops import stencil, pallas_stencil as ps
 from tpu_multigrid.profiling import time_op, peak_bandwidth
+from tpu_multigrid.utils.xfer import device_complex
+from tpu_multigrid.utils.compile import aot_call
 
 mode, L, TX = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 cfg = mg.MGConfig(L=L, stencil="wilson", m=-0.07, nlevels=1, dtype="complex64")
 rng = np.random.default_rng(7)
 U = mg.models.gauge.gauge_from_phases(0.2*rng.normal(size=(2,L,L)), cfg.cdtype)
 D = mg.models.operators.assemble("wilson", U, cfg.m)
-v = jnp.asarray(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L))).astype(cfg.cdtype)
+# complex ingress via real/imag planes (relay rejects complex transfers)
+v = device_complex(rng.normal(size=(2,L,L)) + 1j*rng.normal(size=(2,L,L)),
+                   cfg.cdtype)
 n = 2
 args = (D, v)
 nbytes = (5*n*n + 2*n) * L * L * 8
@@ -52,10 +56,14 @@ elif mode == "pallas_u":    # spin-projected links-only (Pallas tiled)
     nbytes = (2 + 2*n) * L * L * 8
 else:
     raise SystemExit(2)
-# numerics guard vs the XLA path before timing
-ref = stencil.apply_D(D, v)
-out = f(*args)
-err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+# numerics guard vs the XLA path before timing: one fused on-device
+# program via the AOT path (plain jit dispatch + complex jit constants
+# are the relay failure classes — see bench.bench_stencil._validated)
+err = float(aot_call(
+    lambda D, v, *a: (jnp.max(jnp.abs(f(*a) - stencil.apply_D(D, v)))
+                      / jnp.max(jnp.abs(stencil.apply_D(D, v)))
+                      ).astype(jnp.float32),
+    D, v, *args, key=("tune_val", mode, L, TX)))
 assert err < 2e-6, f"numerics mismatch {err}"
 reps = max(20, int(3e9 / nbytes))
 dt = time_op(f, *args, reps=reps)
@@ -82,14 +90,18 @@ def canary_ok(timeout_s=120):
 
 
 def main():
-    items = [("xlau", 1024, 0), ("xla", 1024, 0), ("pallas_u", 1024, 0),
-             ("xlau", 512, 0), ("xla", 512, 0), ("xla", 768, 0),
-             ("vmem", 512, 0)]
-    for L in (1024, 512, 768):
-        for TX in (64, 128, 8, 16, 32, 256):
-            if L % TX == 0:
-                items.append(("pallas_u", L, TX))
-                items.append(("tiled", L, TX))
+    # L=2048 is the honest streaming regime for BOTH representations
+    # (dense 800 MB, links-only 201 MB); the TX ladder leans large now
+    # that the 64 MiB scoped-VMEM compile limit admits big tiles.
+    items = []
+    for TX in (256, 512, 128, 1024, 64):
+        items.append(("pallas_u", 2048, TX))
+    for TX in (32, 64, 16, 128, 8):
+        items.append(("tiled", 2048, TX))
+    for TX in (128, 256, 64, 512):
+        items.append(("pallas_u", 1024, TX))
+    for TX in (32, 64, 16):
+        items.append(("tiled", 1024, TX))
     results = []
     env = dict(os.environ)
     env["TPU_MG_SCOPED_VMEM_KIB"] = env.get("TPU_MG_SCOPED_VMEM_KIB",
@@ -129,8 +141,14 @@ def main():
             else:
                 fails_in_a_row = 0
                 results.append(row)
-                with open("/tmp/kernel_tune.json", "w") as f:
-                    json.dump(results, f, indent=1)
+                out = os.environ.get(
+                    "TUNE_OUT", os.path.join(
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))),
+                        "bench_rungs", "kernel_tune.json"))
+                with open(out, "w") as f:
+                    json.dump({"measured_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%S"), "rows": results}, f, indent=1)
         if requeue and len(requeue) == len(pending):
             time.sleep(300)   # nothing succeeded this lap: wait a window
         pending = requeue

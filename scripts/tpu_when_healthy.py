@@ -149,9 +149,12 @@ def main():
         "entry": (ENTRY, "/tmp/entry_check.json", 900),
         "solve64": (SOLVE64, "/tmp/solve64_check.json", 1500),
         "solve256": bench_phase("solve256", 1500),
+        "solve256_ir": bench_phase("solve256_ir", 2400),
         "ensemble8": bench_phase("ensemble8", 1500),
         "geo2048": bench_phase("geo2048", 1800),
         "tiled": (TILED, "/tmp/tiled_check.json", 1200),
+        "tpu_numerics": (["scripts/tpu_numerics_check.py"],
+                         "/root/repo/bench_rungs/tpu_numerics.json", 1800),
         "pallas": (["scripts/pallas_bench_loop.py"], "/tmp/pallas_bench.json",
                    1200),
         "mg_vs_mr": bench_phase("mg_vs_mr", 1200),

@@ -87,3 +87,19 @@ def test_orbax_checkpoint_sharded_roundtrip(tmp_path):
     assert (hier2.levels[0].D.sharding ==
             hier_s.levels[0].D.sharding)
     np.testing.assert_allclose(np.asarray(phis2[0]), np.asarray(phis[0]))
+
+
+def test_persistent_compile_cache(tmp_path):
+    """enable_persistent_cache wires jax's on-disk XLA cache: a compile
+    writes entries into the directory (the warm-setup story for driver
+    runs; VERDICT r3 item 3)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_multigrid.utils import compile as uc
+
+    path = str(tmp_path / "xla_cache")
+    assert uc.enable_persistent_cache(path) == path
+    jax.jit(lambda a: (a @ a).sum()).lower(
+        jnp.ones((64, 64))).compile()
+    import os
+    assert os.listdir(path), "no cache entries written"

@@ -202,6 +202,53 @@ def test_iterative_refinement_matches_f64_solve():
     assert out.history[-1] < 1e-3 * out.history[0]
 
 
+def test_ir_planes_mode_matches_c128():
+    """solve_ir planes mode (F64 real/imag plane programs — required on
+    TPUs whose compiler rejects C128; see apply_D_planes) is bit-level
+    equivalent to the C128 path, with a c64-built hierarchy + exact c128
+    D_outer (the TPU-fast setup split)."""
+    from tpu_multigrid.solver.driver import solve_ir
+    L = 32
+    cfg64 = MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=2, ntl=True,
+                     num_iters=4, null_iters=60, dtype="complex64",
+                     smoother="rbgs")
+    rng = np.random.default_rng(cfg64.seed)
+    ph = 0.2 * rng.normal(size=(2, L, L))
+    D64 = operators.assemble("wilson",
+                             gauge.gauge_from_phases(ph, cfg64.cdtype),
+                             cfg64.m)
+    hier = build_hierarchy(D64, cfg64, check=False)
+    cfg128 = cfg64.replace(dtype="complex128", res_threshold=1e-12)
+    D128 = np.asarray(operators.assemble(
+        "wilson", gauge.gauge_from_phases(ph, np.complex128), cfg128.m))
+    b = np.zeros((2, L, L), np.complex128)
+    b[0, 2, 2] = 5.0
+    o_pl = solve_ir(hier, b, cfg128, inner_cycles=2, max_iters=100,
+                    D_outer=D128, planes=True)
+    o_cx = solve_ir(hier, jnp.asarray(b), cfg128, inner_cycles=2,
+                    max_iters=100, D_outer=jnp.asarray(D128), planes=False)
+    assert o_pl.converged and o_cx.converged
+    assert o_pl.iters == o_cx.iters
+    assert np.max(np.abs(o_pl.phi - o_cx.phi)) < 1e-13
+
+
+def test_apply_d_planes_matches():
+    """stencil.apply_D_planes == apply_D on the recombined complex."""
+    from tpu_multigrid.ops.stencil import apply_D_planes
+    L = 16
+    rng = np.random.default_rng(5)
+    U = gauge.gauge_from_phases(0.3 * rng.normal(size=(2, L, L)),
+                                jnp.complex128)
+    D = operators.assemble("wilson", U, -0.05)
+    v = jnp.asarray(rng.normal(size=(2, L, L))
+                    + 1j * rng.normal(size=(2, L, L)))
+    orr, oii = apply_D_planes(jnp.real(D), jnp.imag(D),
+                              jnp.real(v), jnp.imag(v))
+    want = apply_D(D, v)
+    np.testing.assert_allclose(np.asarray(orr + 1j * oii),
+                               np.asarray(want), atol=1e-13)
+
+
 def test_fmg_solve():
     """FMG initial guess converges at least as fast as a zero start
     (its own sweep counted as one cycle)."""

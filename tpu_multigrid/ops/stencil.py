@@ -76,6 +76,26 @@ def residual(D: jnp.ndarray, phi: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return r - apply_D(D, phi)
 
 
+def apply_D_planes(Dre, Dim, vre, vim):
+    """apply_D with complex held as separate real/imag planes.
+
+    Needed for full-f64 work on TPUs whose compiler supports F64 but not
+    C128 as an element type (measured on the axon relay: any C128
+    program fails 'Element type C128 is not supported on TPU' while F64
+    programs run). Identical math to apply_D on Dre+1j*Dim.
+    Returns (out_re, out_im)."""
+    def mv(d, vr, vi):
+        return (_site_matvec(Dre[d], vr) - _site_matvec(Dim[d], vi),
+                _site_matvec(Dre[d], vi) + _site_matvec(Dim[d], vr))
+
+    out_r, out_i = mv(SAME, vre, vim)
+    for d in (XP, XM, YP, YM):
+        orr, oii = mv(d, shift(vre, d), shift(vim, d))
+        out_r += orr
+        out_i += oii
+    return out_r, out_i
+
+
 def _sumsq(x) -> jnp.ndarray:
     """Sum of |x|^2 with f64 accumulation when x64 is enabled — keeps the
     convergence check meaningful in complex64 roofline mode (SURVEY §7.3:

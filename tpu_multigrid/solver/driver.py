@@ -132,7 +132,8 @@ def solve_fmg(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
 def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
              inner_cycles: int = 2, max_iters: Optional[int] = None,
              inner_dtype: str = "complex64",
-             D_outer: Optional[jnp.ndarray] = None) -> SolveResult:
+             D_outer: Optional[jnp.ndarray] = None,
+             planes: Optional[bool] = None) -> SolveResult:
     """Mixed-precision iterative refinement (defect correction).
 
     Outer loop in cfg.dtype (complex128 for the reference's 1e-13
@@ -151,6 +152,12 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     precision never bounds the final accuracy, while setup runs entirely
     on the f32 fast path. No reference analog (the reference is
     uniformly double, templates.h ColorMatrix = complex<double>).
+
+    planes: run the f64 outer step on separate real/imag F64 planes
+    instead of C128 arrays — required on TPUs whose compiler supports
+    F64 but rejects C128 as an element type (measured on the axon v5e
+    relay). Auto-enabled on tpu/axon when cfg.dtype is complex128.
+    Identical math (stencil.apply_D_planes).
     """
     from ..utils.compile import aot_call
     from .hierarchy import cast_hierarchy
@@ -160,6 +167,17 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     hier_in = cast_hierarchy(hier, cfg_in.cdtype)
     if D_outer is None:
         D_outer = hier.levels[0].D
+    if planes is None:
+        try:
+            planes = (jax.devices()[0].platform in ("tpu", "axon")
+                      and cfg.dtype == "complex128")
+        except Exception:
+            planes = False
+
+    if planes:
+        return _solve_ir_planes(hier_in, D_outer, b, cfg, cfg_in,
+                                inner_cycles, max_iters)
+
     D_outer = D_outer.astype(cfg.cdtype)
     from ..utils.xfer import device_full
     phi = device_full((cfg.n_dof[0], cfg.L, cfg.L), 0.0, cfg.cdtype)
@@ -199,6 +217,72 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                 or not np.isfinite(resmag):
             break
     return SolveResult(phi=host_complex(phi), iters=outer * inner_cycles,
+                       resmag=resmag,
+                       converged=resmag < cfg.res_threshold,
+                       history=np.asarray(history),
+                       history_stride=inner_cycles)
+
+
+def _solve_ir_planes(hier_in, D_outer, b, cfg: MGConfig, cfg_in: MGConfig,
+                     inner_cycles: int, max_iters: int) -> SolveResult:
+    """solve_ir outer loop with complex128 state held as F64 real/imag
+    plane pairs (C128-free programs; see solve_ir docstring). The inner
+    MG cycles still run natively in complex64 — the c64 value is built
+    INSIDE the program from f32 planes (C64 is supported; only C128 is
+    not)."""
+    from ..utils.compile import aot_call
+    from ..ops.stencil import apply_D_planes
+
+    rdt = jnp.float64
+    # ingress: b and D_outer as host numpy -> f64 plane pairs (real
+    # transfers only; complex never crosses the boundary)
+    b_h = np.asarray(b)
+    Dre = jnp.asarray(np.real(np.asarray(D_outer)), rdt)
+    Dim = jnp.asarray(np.imag(np.asarray(D_outer)), rdt)
+    bre = jnp.asarray(np.real(b_h), rdt)
+    bim = jnp.asarray(np.imag(b_h), rdt)
+    pre = jnp.zeros_like(bre)
+    pim = jnp.zeros_like(bim)
+    rre, rim = bre, bim
+    bn = float(np.sqrt(np.sum(np.abs(b_h) ** 2)))
+
+    def step(Dre, Dim, hier_in, pre, pim, rre, rim, bre, bim):
+        rn = jnp.sqrt(jnp.sum(rre * rre + rim * rim))
+        safe = jnp.where(rn > 0, rn, 1.0)
+        r_in = ((rre / safe).astype(jnp.float32)
+                + 1j * (rim / safe).astype(jnp.float32)
+                ).astype(cfg_in.cdtype)
+        es = zero_fields(cfg_in)
+
+        def body(_, es):
+            es, _ = cycle(hier_in, es, r_in, cfg_in)
+            return es
+
+        es = jax.lax.fori_loop(0, inner_cycles, body, es)
+        e0 = es[0]
+        pre2 = pre + safe * jnp.real(e0).astype(rdt)
+        pim2 = pim + safe * jnp.imag(e0).astype(rdt)
+        dre, dim = apply_D_planes(Dre, Dim, pre2, pim2)
+        rre2, rim2 = bre - dre, bim - dim
+        rn2 = jnp.sqrt(jnp.sum(rre2 * rre2 + rim2 * rim2))
+        return pre2, pim2, rre2, rim2, rn2
+
+    history = []
+    resmag = float("inf")
+    outer = 0
+    while outer * inner_cycles < max_iters:
+        pre, pim, rre, rim, rn2 = aot_call(
+            step, Dre, Dim, hier_in, pre, pim, rre, rim, bre, bim,
+            key=("ir_planes", cfg.replace(res_threshold=0.0),
+                 cfg_in.dtype, inner_cycles))
+        outer += 1
+        resmag = float(rn2) / bn
+        history.append(resmag)
+        if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
+                or not np.isfinite(resmag):
+            break
+    phi = np.asarray(pre) + 1j * np.asarray(pim)
+    return SolveResult(phi=phi, iters=outer * inner_cycles,
                        resmag=resmag,
                        converged=resmag < cfg.res_threshold,
                        history=np.asarray(history),

@@ -35,6 +35,13 @@ class GeoConfig:
     max_iters: int = 10000
     res_threshold: float = 1.0e-14
     smoother: str = "rbgs"        # 'jacobi' | 'rbgs' | 'gs_lex'
+    # Jacobi damping. Undamped Jacobi does not smooth the near-(pi,pi)
+    # checkerboard modes of the 2D Laplacian (amplification 4/(4+m^2 a^2)
+    # ~ 1 for small m), so an MG cycle with omega=1 Jacobi stalls for
+    # small m; 0.8 is the classic 2D choice. Default 1.0 matches the
+    # reference's own (undamped) Jacobi trajectory (gs_flag=0 path);
+    # rbgs/gs_lex ignore omega.
+    omega: float = 1.0
     dtype: str = "float64"
 
     @property
@@ -86,9 +93,11 @@ def geo_residual_floor(phi, b, cfg: GeoConfig) -> float:
     return float(jnp.finfo(phi.dtype).eps * jnp.sum(mag))
 
 
-def _geo_sweep(phi, r, level, cfg, parity=None):
+def _geo_sweep(phi, r, level, cfg, parity=None, omega=1.0):
     a = cfg.spacings[level]
     upd = cfg.scales[level] * (_ngb_sum(phi) - r * a * a)
+    if omega != 1.0:
+        upd = phi + omega * (upd - phi)
     if parity is None:
         return upd
     return jnp.where(parity, upd, phi)
@@ -98,7 +107,7 @@ def geo_smooth(phi, r, level: int, n_sweeps: int, cfg: GeoConfig):
     L = phi.shape[-1]
     if cfg.smoother == "jacobi":
         def body(_, phi):
-            return _geo_sweep(phi, r, level, cfg)
+            return _geo_sweep(phi, r, level, cfg, omega=cfg.omega)
     elif cfg.smoother == "gs_lex":
         # Exact in-place lexicographic GS (the reference's relax,
         # 2D_laplace_Mgrid.cpp:59-64, order for x { for y }) via the
