@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the distributed solve on an MX x MY device "
                         "mesh (shard_map + ppermute halos; requires "
                         "MX*MY <= len(jax.devices()))")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent on-disk XLA compilation "
+                        "cache (utils.compile.enable_persistent_cache; "
+                        "dir via TPU_MG_COMPILE_CACHE)")
     return p
 
 
@@ -181,6 +185,11 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     if getattr(ns, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    if not getattr(ns, "no_compile_cache", False):
+        # driver runs pay ~100 s of setup recompiles per process start;
+        # the on-disk XLA cache makes the second run's setup compile-free
+        from .utils.compile import enable_persistent_cache
+        enable_persistent_cache()
 
     import tpu_multigrid as mg
     from .models import gauge as G

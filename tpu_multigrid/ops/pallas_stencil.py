@@ -18,6 +18,14 @@ covers every benchmark lattice. Larger lattices fall back to the XLA path
 planned extension.
 
 Restricted to complex64 (the roofline mode); complex128 runs use XLA.
+
+These wrappers are deliberately NOT decorated with jax.jit: they are
+always called inside jitted/AOT solver programs, where a nested jit
+becomes a closed_call — and closed_call lowering of these kernels under
+jax_enable_x64 hits an infinite-recursion bug in the lowering cache
+(measured: solve_ir's fused step with rbgs_smooth_pallas inside
+RecursionErrors at any lattice size with x64 on). Inlined jaxprs lower
+fine. Eager callers (tests) still work — pallas_call executes eagerly.
 """
 from __future__ import annotations
 
@@ -161,7 +169,6 @@ def _rbgs_kernel(n, n_sweeps, dr_ref, di_ref, ir_ref, ii_ref, pr_ref,
     oi_ref[:] = pi
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def rbgs_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
     """n_sweeps fused red-black GS sweeps in ONE kernel call (matches
     ops.smoothers rbgs_sweep with omega=1); every operand crosses HBM
@@ -190,7 +197,6 @@ def _vmem_specs(k):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(k)]
 
 
-@functools.partial(jax.jit, static_argnames=())
 def apply_D_pallas(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused SpMV; D [5,n,n,L,L] c64, v [n,L,L] c64 -> [n,L,L] c64."""
     n, L = v.shape[0], v.shape[-1]
@@ -207,7 +213,6 @@ def apply_D_pallas(D: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return (out_r + 1j * out_i).astype(v.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps",))
 def jacobi_smooth_pallas(D, D0inv, phi, r, n_sweeps: int = 1):
     """n_sweeps fused Jacobi sweeps in ONE kernel call (matches
     ops.smoothers.jacobi_sweep); every operand crosses HBM once per
@@ -288,7 +293,6 @@ def _pick_tile(n: int, L: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("TX",))
 def apply_D_pallas_tiled(D: jnp.ndarray, v: jnp.ndarray,
                          TX: int | None = None) -> jnp.ndarray:
     """x-tiled fused SpMV for lattices too large for whole-in-VMEM.
@@ -440,7 +444,6 @@ def _pick_smoother_tile(n: int, L: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("n_sweeps", "kind", "TX"))
 def smooth_pallas_tiled(D, D0inv, phi, r, n_sweeps: int = 1,
                         kind: str = "jacobi", TX: int | None = None):
     """n_sweeps fused x-tiled smoother sweeps for lattices too large for
@@ -540,7 +543,6 @@ def _pick_tile_u(L: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("m", "TX"))
 def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
                           TX: int | None = None) -> jnp.ndarray:
     """x-tiled spin-projected Wilson SpMV; U [2,L,L] c64, v [2,L,L] c64.
@@ -588,6 +590,14 @@ def _on_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform
     except Exception:
+        return False
+    if jax.config.jax_enable_x64:
+        # Pallas Mosaic lowering is broken under jax_enable_x64 in this
+        # jax version: whole-VMEM kernels fail an internal verification
+        # error and x-tiled kernels send convert_element_type lowering
+        # into infinite recursion (measured 2026-08-21; the kernels
+        # themselves contain no f64). x64 runs (e.g. solve_ir's outer
+        # f64 loop process) therefore dispatch to the XLA path.
         return False
     return plat in ("tpu", "axon")
 

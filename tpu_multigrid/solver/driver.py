@@ -233,6 +233,13 @@ def _solve_ir_planes(hier_in, D_outer, b, cfg: MGConfig, cfg_in: MGConfig,
     from ..utils.compile import aot_call
     from ..ops.stencil import apply_D_planes
 
+    # the fused planes step (inner c64 cycles with nested-jitted Pallas
+    # smoothers + f64 plane stencil) lowers through deeply recursive MLIR
+    # paths under x64; the default 1000-frame limit RecursionErrors at
+    # 256^2/3-level (measured on the axon backend)
+    import sys as _sys
+    _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
     rdt = jnp.float64
     # ingress: b and D_outer as host numpy -> f64 plane pairs (real
     # transfers only; complex never crosses the boundary)
