@@ -382,29 +382,66 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
     D = jax.vmap(lambda u: mg.models.operators.assemble("wilson", u, cfg.m))(U)
     n = cfg.n_dof[0]
     from tpu_multigrid.utils.xfer import device_complex
+    from tpu_multigrid.utils.compile import aot_call
+    from tpu_multigrid.ops.stencil import apply_D_unrolled
+    from tpu_multigrid.ops.gauge_stencil import apply_wilson_u
     v = device_complex(rng.normal(size=(B, n, L, L))
                        + 1j * rng.normal(size=(B, n, L, L)), cfg.cdtype)
     nbytes = B * (5 * n * n + 2 * n) * L * L * 8
+    u_bytes = B * (2 + 2 * n) * L * L * 8
     peak, kind = device_peak_bw()
+    # vmapped paths over the config batch: the dense forms read per-config
+    # D; the links-only form reads per-config U (same math, ~4x less HBM)
+    paths = {
+        "xla_batch": (jax.vmap(apply_D), (D, v), nbytes, 1.0),
+        "xla_unroll_batch": (jax.vmap(apply_D_unrolled), (D, v), nbytes,
+                             1.0),
+        "xla_u_batch": (jax.vmap(lambda u, x: apply_wilson_u(u, cfg.m, x)),
+                        (U, v), u_bytes, 1.0),
+    }
+    ref_fn = paths["xla_batch"][0]
+    ref_out = None
     errs = {}
     times = {}
+    path_bytes = {}
     for attempt in range(tries):
-        try:
-            dt = time_op(jax.vmap(apply_D), D, v, reps=reps + attempt)
-            streaming = nbytes > VMEM_PHYS
-            min_dt = nbytes / peak if streaming else nbytes / (30 * peak)
-            if dt < min_dt:
-                raise RuntimeError("implausibly fast: relay did not run it")
-            times["xla_batch"] = dt
-            if on_partial:
-                on_partial(dict(times), {"xla_batch": nbytes})
+        for name, (f, args, b, adjust) in paths.items():
+            if name in times:
+                continue
+            try:
+                if name != "xla_batch":
+                    if ref_out is None:
+                        ref_out = aot_call(ref_fn, D, v,
+                                           key=("bench_ref_b", L, B))
+                    err = float(aot_call(
+                        lambda ref, *a:
+                        (jnp.max(jnp.abs(f(*a) * adjust - ref))
+                         / jnp.max(jnp.abs(ref))).astype(jnp.float32),
+                        ref_out, *args,
+                        key=("bench_val_b", name, L, B)))
+                    if not err < 1e-4:
+                        raise RuntimeError(f"numerics mismatch {err:.2e}")
+                dt = time_op(f, *args, reps=reps + attempt)
+                streaming = b > VMEM_PHYS
+                min_dt = b / peak if streaming else b / (30 * peak)
+                if dt < min_dt:
+                    raise RuntimeError(
+                        "implausibly fast: relay did not run it")
+                times[name] = dt
+                path_bytes[name] = b
+                errs.pop(name, None)
+                if on_partial:
+                    on_partial(dict(times), dict(path_bytes))
+            except Exception as e:
+                errs[name] = f"try{attempt}: " + str(e)[:120]
+        if "xla_batch" in times and len(times) == len(paths):
             break
-        except Exception as e:
-            errs["xla_batch"] = f"try{attempt}: " + str(e)[:120]
-            time.sleep(3)
+        if "xla_batch" in times and attempt >= 1:
+            break
+        time.sleep(3)
     if not times:
         raise RuntimeError(f"batched stencil bench failed: {errs}")
-    out = _stencil_result(L, n, peak, kind, times, {"xla_batch": nbytes},
+    out = _stencil_result(L, n, peak, kind, times, path_bytes,
                           errs or None, batch=B)
     out["batch"] = B
     return out

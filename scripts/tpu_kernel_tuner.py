@@ -65,7 +65,10 @@ err = float(aot_call(
                       ).astype(jnp.float32),
     D, v, *args, key=("tune_val", mode, L, TX)))
 assert err < 2e-6, f"numerics mismatch {err}"
-reps = max(20, int(3e9 / nbytes))
+# >= ~0.3 s r-loop at roofline speed (2r-vs-r differencing needs the
+# loop to dwarf the relay's ms-scale round-trip jitter; bench.py reps
+# discipline)
+reps = max(100, int(2.5e11 / nbytes))
 dt = time_op(f, *args, reps=reps)
 bw = nbytes / dt
 nnzps = 5*n*n * L * L / dt

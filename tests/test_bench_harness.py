@@ -91,6 +91,23 @@ def test_stencil_result_headline_from_best_streaming_path(bench):
     assert "solver_regime_best" not in out2
 
 
+def test_stencil_result_headline_best_fraction_not_best_nnz(bench):
+    """Protocol v3 (docs/PERF.md §9): among streaming paths the headline
+    is the best ROOFLINE FRACTION, not the best nnz/s — the links-only
+    representation moves 3.75x less data for identical math, so its
+    nnz/s is not comparable; it is reported as fastest_streaming."""
+    peak = 819e9
+    # pallas_u: 201 MB at 5.7e-4 (frac 0.43, nnz/s high);
+    # pallas_tiled: 800 MB at 1.17e-3 (frac 0.84, nnz/s lower)
+    out = bench._stencil_result(
+        2048, 2, peak, "TPU v5 lite",
+        {"pallas_u": 5.7e-4, "pallas_tiled": 1.17e-3},
+        {"pallas_u": int(201e6), "pallas_tiled": int(800e6)})
+    assert out["best_path"] == "pallas_tiled"
+    assert out["roofline_fraction"] > 0.6
+    assert out["fastest_streaming"]["path"] == "pallas_u"
+
+
 def test_streaming_threshold_is_physical_vmem(bench):
     # a 100 MB set can be kept on-chip (64 MiB scoped limit + hoisting,
     # 128 MiB physical VMEM on v5e) — it must NOT be granted a roofline
