@@ -5,14 +5,15 @@ Prints ONE JSON line:
    "vs_baseline": <achieved HBM bandwidth / peak HBM bandwidth>}
 
 The headline is the HBM-STREAMING regime: rungs whose working sets exceed
-PHYSICAL VMEM (128 MiB on v5e), so every apply genuinely streams its
-operator from HBM and the roofline fraction is an honest bandwidth
-fraction (BASELINE.json target: >= 0.60 of the speed of light for the
-gauged 5-point stencil SpMV). Working sets below that may be kept on-chip
-by XLA across the timing loop (measured: a 28 MB links-only set sustained
-1.18x nominal HBM BW) — those rungs are labeled vmem_resident and report
-an effective-bandwidth figure, not a roofline fraction; that regime is
-what the MG solver actually runs in. Every non-XLA path must reproduce
+2x PHYSICAL VMEM (256 MiB on v5e; protocol v3.1), so every apply
+genuinely streams its operator from HBM and the roofline fraction is an
+honest bandwidth fraction (BASELINE.json target: >= 0.60 of the speed of
+light for the gauged 5-point stencil SpMV). Sets of 1-2x VMEM are
+labeled vmem_boundary (measured: a 201 MB set hit 1.07x nominal peak on
+minimum-traffic bytes via partial cross-iteration residency) and smaller
+sets vmem_resident (a 28 MB links-only set sustained 1.18x nominal HBM
+BW) — both report effective bandwidth, not a roofline; the resident
+regime is what the MG solver actually runs in. Every non-XLA path must reproduce
 the XLA reference numerically before its timing counts. MG-vs-MR cycle
 counts are also in bench_details.json.
 
@@ -66,6 +67,15 @@ HBM_PEAK = {
 # nominal HBM bandwidth), so only working sets beyond PHYSICAL VMEM are
 # guaranteed to stream from HBM every apply.
 VMEM_PHYS = 128 * 1024 * 1024
+
+# Roofline grant threshold (protocol v3.1): working sets between 1x and
+# 2x physical VMEM measured ABOVE nominal peak HBM bandwidth on
+# minimum-traffic byte counts (dense Pallas-tiled at L=1024/201 MB:
+# 1.07x, twice, in controlled runs) — partial cross-iteration residency
+# near the VMEM boundary inflates apparent bandwidth, so an honest
+# roofline fraction requires the set to be uncacheable with margin.
+# 1x-2x VMEM is labeled 'vmem_boundary' and reports effective bandwidth.
+STREAM_MIN = 2 * VMEM_PHYS
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 900))
 # Print the headline from partial data no later than this (the full
@@ -328,8 +338,15 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
                 # on-chip — measured: a 28 MB links-only set sustained
                 # 1.18x nominal HBM BW), so those are labeled
                 # resident-capable and capped at the VMEM advantage.
-                streaming = nbytes > VMEM_PHYS
-                min_dt = nbytes / peak if streaming else nbytes / (30 * peak)
+                # v3.1 gate tiers: true streaming (> 2x VMEM) cannot
+                # beat peak; boundary sets (1-2x VMEM) may show partial
+                # residency up to ~2x; smaller sets get the resident cap
+                if nbytes > STREAM_MIN:
+                    min_dt = nbytes / peak
+                elif nbytes > VMEM_PHYS:
+                    min_dt = nbytes / (2 * peak)
+                else:
+                    min_dt = nbytes / (30 * peak)
                 if dt < min_dt:
                     raise RuntimeError(
                         f"implausibly fast ({dt:.3e}s/apply < {min_dt:.3e}):"
@@ -422,8 +439,12 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
                     if not err < 1e-4:
                         raise RuntimeError(f"numerics mismatch {err:.2e}")
                 dt = time_op(f, *args, reps=reps + attempt)
-                streaming = b > VMEM_PHYS
-                min_dt = b / peak if streaming else b / (30 * peak)
+                if b > STREAM_MIN:
+                    min_dt = b / peak
+                elif b > VMEM_PHYS:
+                    min_dt = b / (2 * peak)
+                else:
+                    min_dt = b / (30 * peak)
                 if dt < min_dt:
                     raise RuntimeError(
                         "implausibly fast: relay did not run it")
@@ -807,18 +828,22 @@ def _stencil_result(L, n, peak, kind, times, path_bytes, warn=None,
     HBM traffic differs by operator representation (dense D vs the
     spin-projected links-only form), so nnz/s and the bandwidth fraction
     are computed per path with that path's own bytes. The headline is
-    the best nnz/s; 'streaming' means the working set cannot stay
-    VMEM-resident across the timing loop's iterations (> 1.5x VMEM)."""
+    the best roofline fraction; 'hbm_streaming' (roofline-eligible)
+    means the working set exceeds 2x physical VMEM (protocol v3.1:
+    boundary sets at 1-2x VMEM have measured above nominal peak via
+    partial residency, so they report effective bandwidth only)."""
     nnz = batch * 5 * n * n * L * L
     rows = {}
     for name, dt in times.items():
         b = path_bytes[name]
-        streaming = b > VMEM_PHYS
+        regime = ("hbm_streaming" if b > STREAM_MIN
+                  else "vmem_boundary" if b > VMEM_PHYS
+                  else "vmem_resident")
         rows[name] = {
             "sec_per_apply": dt, "bytes_per_apply": b,
             "achieved_bytes_per_s": b / dt, "nnz_per_s": nnz / dt,
             "bw_fraction": b / dt / peak,
-            "regime": "hbm_streaming" if streaming else "vmem_resident"}
+            "regime": regime}
     # Paths may sit in different regimes at the same L (the spin-projected
     # links-only operator is ~4x smaller than dense D, so it stays
     # VMEM-resident up to L=512 while the dense path already streams). The

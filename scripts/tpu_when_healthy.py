@@ -162,13 +162,15 @@ def main():
     def task_done(name, marker):
         if not os.path.exists(marker):
             return False
-        # the kernel-comparison rungs are only complete once at least two
-        # paths measured (shaky windows often land xla alone; a better
-        # window should fill in the links-only/Pallas comparison)
-        if name in ("stencil", "stencil_stream"):
+        # a kernel-comparison rung is only complete once >= 3 paths have
+        # measured AND no path is still erroring (merge-and-skip makes a
+        # re-run cheap: banked paths are skipped, only missing ones run)
+        if name.startswith("stencil"):
             try:
                 with open(marker) as f:
-                    return len(json.load(f).get("paths", {})) >= 2
+                    r = json.load(f)
+                return (len(r.get("paths", {})) >= 3
+                        and not r.get("transient_errors"))
             except Exception:
                 return False
         return True

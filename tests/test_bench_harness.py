@@ -56,10 +56,17 @@ def test_best_partial_prefers_streaming_and_cached_fallback(bench):
 def test_stencil_result_regime_labels(bench):
     peak = 819e9
     out = bench._stencil_result(
-        1024, 2, peak, "TPU v5 lite",
-        {"xla": 1e-3}, {"xla": int(200e6)})
+        2048, 2, peak, "TPU v5 lite",
+        {"xla": 4e-3}, {"xla": int(800e6)})
     assert out["regime"] == "hbm_streaming"
     assert 0 < out["roofline_fraction"] < 1.0
+    # protocol v3.1: 1-2x VMEM is the boundary regime (partial residency
+    # measured above nominal peak there) — effective bw, no roofline
+    outb = bench._stencil_result(
+        1024, 2, peak, "TPU v5 lite",
+        {"xla": 1e-3}, {"xla": int(200e6)})
+    assert outb["regime"] == "vmem_boundary"
+    assert "roofline_fraction" not in outb
     out2 = bench._stencil_result(
         128, 2, peak, "TPU v5 lite",
         {"xla": 1e-5}, {"xla": int(3e6)})
@@ -68,15 +75,15 @@ def test_stencil_result_regime_labels(bench):
 
 
 def test_stencil_result_headline_from_best_streaming_path(bench):
-    # links-only path is faster on nnz/s but VMEM-resident at L=1024
-    # (50 MB < physical VMEM); the headline must stay an honest roofline
-    # (best path whose working set exceeds PHYSICAL VMEM), with the
-    # resident winner reported alongside as the solver-regime figure
+    # links-only path is faster on nnz/s but VMEM-resident at L=2048-
+    # dense scale (201 MB < 2x physical VMEM); the headline must stay an
+    # honest roofline (best path whose working set exceeds STREAM_MIN),
+    # with the non-streaming winner reported as the solver-regime figure
     peak = 819e9
     out = bench._stencil_result(
-        1024, 2, peak, "TPU v5 lite",
-        {"xla": 1e-3, "xla_u": 1e-4},
-        {"xla": int(201e6), "xla_u": int(50e6)})
+        2048, 2, peak, "TPU v5 lite",
+        {"xla": 4e-3, "xla_u": 4e-4},
+        {"xla": int(800e6), "xla_u": int(50e6)})
     assert out["best_path"] == "xla"
     assert out["regime"] == "hbm_streaming"
     assert 0 < out["roofline_fraction"] < 1.0
@@ -92,25 +99,26 @@ def test_stencil_result_headline_from_best_streaming_path(bench):
 
 
 def test_stencil_result_headline_best_fraction_not_best_nnz(bench):
-    """Protocol v3 (docs/PERF.md §9): among streaming paths the headline
-    is the best ROOFLINE FRACTION, not the best nnz/s — the links-only
-    representation moves 3.75x less data for identical math, so its
-    nnz/s is not comparable; it is reported as fastest_streaming."""
+    """Protocol v3/v3.1 (docs/PERF.md §9): the headline is the best
+    ROOFLINE FRACTION among truly-streaming (> 2x VMEM) paths; the
+    faster-in-absolute-nnz/s links-only path (201 MB = boundary regime)
+    is reported as solver_regime_best, not the headline."""
     peak = 819e9
-    # pallas_u: 201 MB at 5.7e-4 (frac 0.43, nnz/s high);
-    # pallas_tiled: 800 MB at 1.17e-3 (frac 0.84, nnz/s lower)
+    # pallas_u: 201 MB at 5.7e-4 (boundary, nnz/s high);
+    # pallas_tiled: 800 MB at 1.17e-3 (streaming, frac 0.84)
     out = bench._stencil_result(
         2048, 2, peak, "TPU v5 lite",
         {"pallas_u": 5.7e-4, "pallas_tiled": 1.17e-3},
         {"pallas_u": int(201e6), "pallas_tiled": int(800e6)})
     assert out["best_path"] == "pallas_tiled"
     assert out["roofline_fraction"] > 0.6
-    assert out["fastest_streaming"]["path"] == "pallas_u"
+    assert out["solver_regime_best"]["path"] == "pallas_u"
 
 
-def test_streaming_threshold_is_physical_vmem(bench):
-    # a 100 MB set can be kept on-chip (64 MiB scoped limit + hoisting,
-    # 128 MiB physical VMEM on v5e) — it must NOT be granted a roofline
+def test_streaming_threshold_is_2x_physical_vmem(bench):
+    # a 100 MB set can be kept on-chip (vmem_resident) and a 201 MB set
+    # partially so (vmem_boundary; measured 1.07x peak) — neither gets a
+    # roofline; only > 2x physical VMEM (256 MiB) does (protocol v3.1)
     peak = 819e9
     out = bench._stencil_result(
         256, 2, peak, "TPU v5 lite",
@@ -120,7 +128,12 @@ def test_streaming_threshold_is_physical_vmem(bench):
     out2 = bench._stencil_result(
         256, 2, peak, "TPU v5 lite",
         {"xla_batch": 3e-4}, {"xla_batch": int(201e6)}, batch=16)
-    assert out2["regime"] == "hbm_streaming"
+    assert out2["regime"] == "vmem_boundary"
+    assert "roofline_fraction" not in out2
+    out3 = bench._stencil_result(
+        256, 2, peak, "TPU v5 lite",
+        {"xla_batch": 6e-4}, {"xla_batch": int(400e6)}, batch=32)
+    assert out3["regime"] == "hbm_streaming"
 
 
 def test_load_rung_rejects_cpu_for_tpu_phases(bench):

@@ -283,12 +283,19 @@ def _tile_candidates(L: int, start: int):
 
 
 def _pick_tile(n: int, L: int) -> int:
-    """Largest valid row-tile whose operand footprint fits VMEM; 0 if no
-    multiple-of-8 divisor of L fits (caller falls back to XLA)."""
-    for tx in _tile_candidates(L, L):
+    """Largest valid row-tile whose operand footprint fits the raised
+    scoped-VMEM budget; 0 if no multiple-of-8 divisor of L fits (caller
+    falls back to XLA).
+
+    Budget: 28 MB per block — Pallas double-buffers the pipeline, so the
+    scoped allocation is ~2x this, inside the 64 MiB limit aot_call
+    requests on TPU (utils/compile.SCOPED_VMEM_KIB). Measured at L=2048
+    (kernel_tune.json): TX=64 (27 MB/block) 0.81 of roofline vs TX=8
+    0.74; TX=128 exceeds the scoped limit."""
+    for tx in _tile_candidates(L, min(L, 64)):
         bytes_needed = 4 * (2 * 5 * n * n * tx + 4 * n * (tx + 2)
                             + 2 * n * tx) * L
-        if bytes_needed <= int(0.5 * VMEM_BYTES):
+        if bytes_needed <= 28 * 1024 * 1024:
             return tx
     return 0
 
