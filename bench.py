@@ -1173,6 +1173,18 @@ def main():
         phase = sys.argv[sys.argv.index("--phase") + 1]
         out = sys.argv[sys.argv.index("--out") + 1]
         _PARTIAL_PATH = out + ".partial"
+        if (os.environ.get("BENCH_COMPILE_CACHE", "1") != "0"
+                and phase not in _CPU_PHASES):
+            # measured through the axon relay: an identical program that
+            # took 114.5 s to compile remotely loads from the on-disk
+            # cache in 0.58 s in a fresh process — phase children stop
+            # paying the recompile tax across invocations/retries
+            try:
+                from tpu_multigrid.utils.compile import \
+                    enable_persistent_cache
+                enable_persistent_cache()
+            except Exception:
+                pass
         result = PHASES[phase]()
         if "error" in result:
             print(f"phase {phase} failed: {result['error']}",

@@ -113,7 +113,10 @@ def main():
         out["self_tests"] = {"worst": worst, "n": len(res),
                              "pass": bool(worst < 1e-4)}  # c64 tolerance
     except Exception as ex:
-        out["self_tests"] = {"error": str(ex)[:150]}
+        import traceback
+        tb = traceback.format_exc().splitlines()
+        out["self_tests"] = {"error": str(ex)[:150],
+                             "traceback_tail": tb[-12:]}
 
     kern_ok = all(k.get("pass") for k in out["kernels"].values())
     out["ok"] = bool(kern_ok and out["self_tests"].get("pass"))

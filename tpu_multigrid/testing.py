@@ -106,16 +106,28 @@ def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
 
     Returns {check_name: violation}; all values should be < EPSILON.
     """
+    from .utils.compile import aot_call
+
     if key is None:
         key = jax.random.PRNGKey(cfg.seed + 1)
     out = {}
     bx, by = cfg.block_x, cfg.block_y
+
+    # Each level's checks run as ONE fused AOT program fetching a real
+    # f32 vector of violations — including the random test vector's
+    # generation (fold_in per level, inside the program): eager per-op
+    # dispatch and any complex boundary crossing are failure classes on
+    # relay-style TPU backends (CLAUDE.md).
+    def _vec(key, lvl, n, S):
+        k = jax.random.fold_in(key, lvl)
+        k1, k2 = jax.random.split(k)
+        return (jax.random.uniform(k1, (n, S, S), minval=-np.pi,
+                                   maxval=np.pi)
+                + 1j * jax.random.uniform(k2, (n, S, S), minval=-np.pi,
+                                          maxval=np.pi)).astype(cfg.cdtype)
+
     for lvl in range(cfg.nlevels + 1):
         n, S = cfg.n_dof[lvl], cfg.sizes[lvl]
-        key, k1, k2 = jax.random.split(key, 3)
-        vec = (jax.random.uniform(k1, (n, S, S), minval=-np.pi, maxval=np.pi)
-               + 1j * jax.random.uniform(k2, (n, S, S), minval=-np.pi,
-                                         maxval=np.pi)).astype(cfg.cdtype)
         lev = hier.levels[lvl]
         ntl_bottom = cfg.ntl and lvl == cfg.nlevels
         if ntl_bottom:
@@ -123,22 +135,50 @@ def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
                 pn = hier.ntl.phi_null[q]
                 Dq = hier.ntl.D[q]
                 fine = hier.levels[lvl - 1]
-                out[f"lvl{lvl}_ntl{q}_test1"] = float(
-                    test1_restriction_prolongation(pn, vec, q + 1, bx, by))
-                out[f"lvl{lvl}_ntl{q}_test2"] = float(
-                    test2_galerkin(Dq, fine.D, pn, vec, q + 1, bx, by))
-                out[f"lvl{lvl}_ntl{q}_test3"] = float(
-                    test3_hermiticity(Dq, cfg.stencil))
-                out[f"lvl{lvl}_ntl{q}_test4"] = float(
-                    test4_hermiticity_full(Dq, vec, cfg.stencil))
+
+                def prog(pn, Dq, Df, key, lvl=lvl, q=q, n=n, S=S):
+                    vec = _vec(key, lvl, n, S)
+                    return jnp.stack([
+                        test1_restriction_prolongation(pn, vec, q + 1,
+                                                       bx, by),
+                        test2_galerkin(Dq, Df, pn, vec, q + 1, bx, by),
+                        test3_hermiticity(Dq, cfg.stencil),
+                        test4_hermiticity_full(Dq, vec, cfg.stencil),
+                    ]).astype(jnp.float32)
+
+                vals = np.asarray(aot_call(
+                    prog, pn, Dq, fine.D, key,
+                    key=("mgtests_ntl", cfg, lvl, q)))
+                for i, t in enumerate(("test1", "test2", "test3", "test4")):
+                    out[f"lvl{lvl}_ntl{q}_{t}"] = float(vals[i])
+        elif lvl > 0:
+            fine = hier.levels[lvl - 1]
+
+            def prog(Dl, Df, pn, key, lvl=lvl, n=n, S=S):
+                vec = _vec(key, lvl, n, S)
+                return jnp.stack([
+                    test1_restriction_prolongation(pn, vec, cfg.quad,
+                                                   bx, by),
+                    test2_galerkin(Dl, Df, pn, vec, cfg.quad, bx, by),
+                    test3_hermiticity(Dl, cfg.stencil),
+                    test4_hermiticity_full(Dl, vec, cfg.stencil),
+                ]).astype(jnp.float32)
+
+            vals = np.asarray(aot_call(
+                prog, lev.D, fine.D, fine.phi_null, key,
+                key=("mgtests", cfg, lvl)))
+            for i, t in enumerate(("test1", "test2", "test3", "test4")):
+                out[f"lvl{lvl}_{t}"] = float(vals[i])
         else:
-            if lvl > 0:
-                fine = hier.levels[lvl - 1]
-                out[f"lvl{lvl}_test1"] = float(test1_restriction_prolongation(
-                    fine.phi_null, vec, cfg.quad, bx, by))
-                out[f"lvl{lvl}_test2"] = float(test2_galerkin(
-                    lev.D, fine.D, fine.phi_null, vec, cfg.quad, bx, by))
-            out[f"lvl{lvl}_test3"] = float(test3_hermiticity(lev.D, cfg.stencil))
-            out[f"lvl{lvl}_test4"] = float(
-                test4_hermiticity_full(lev.D, vec, cfg.stencil))
+            def prog(Dl, key, lvl=lvl, n=n, S=S):
+                vec = _vec(key, lvl, n, S)
+                return jnp.stack([
+                    test3_hermiticity(Dl, cfg.stencil),
+                    test4_hermiticity_full(Dl, vec, cfg.stencil),
+                ]).astype(jnp.float32)
+
+            vals = np.asarray(aot_call(prog, lev.D, key,
+                                       key=("mgtests0", cfg, lvl)))
+            out[f"lvl{lvl}_test3"] = float(vals[0])
+            out[f"lvl{lvl}_test4"] = float(vals[1])
     return out
