@@ -110,7 +110,9 @@ def main():
         hier = mg.build_hierarchy(D, cfg, check=False)
         res = mg.testing.run_mg_tests(hier, cfg)
         worst = max(res.values())
+        top = sorted(res.items(), key=lambda kv: -kv[1])[:6]
         out["self_tests"] = {"worst": worst, "n": len(res),
+                             "worst_checks": dict(top),
                              "pass": bool(worst < 1e-4)}  # c64 tolerance
     except Exception as ex:
         import traceback

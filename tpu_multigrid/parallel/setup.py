@@ -142,12 +142,16 @@ def build_hierarchy_sharded(D0: jnp.ndarray, cfg: MGConfig, mesh: Mesh,
                 D0inv = site_inverse(D[0])
                 vecs = _relax_null_sharded(D, D0inv, starts, cfg)
                 pn = candidates_to_phi_null(vecs, cfg.stencil, nc)
-                pn = jnp.stack([
-                    _block_normalize_sharded(pn[d], cfg.quad, bx, by)
-                    for d in range(nc)])
-                for _ in range(cfg.ortho_passes):
-                    pn = _ortho_pass_sharded(pn, cfg.quad, bx, by)
-                Dc = _coarse_operator_sharded(D, pn, cfg.quad, bx, by)
+                # HIGHEST matmul precision for ortho + Galerkin — same
+                # bf16-default pitfall as the single-device setup
+                # (hierarchy._setup_level_core)
+                with jax.default_matmul_precision("highest"):
+                    pn = jnp.stack([
+                        _block_normalize_sharded(pn[d], cfg.quad, bx, by)
+                        for d in range(nc)])
+                    for _ in range(cfg.ortho_passes):
+                        pn = _ortho_pass_sharded(pn, cfg.quad, bx, by)
+                    Dc = _coarse_operator_sharded(D, pn, cfg.quad, bx, by)
                 if not sh[lvl + 1]:
                     Dc = _gather_lattice(Dc)
                 return D0inv, pn, Dc

@@ -94,11 +94,18 @@ def _setup_level_core(D, start_or_null, cfg: MGConfig, lvl: int, quad: int,
     else:
         phi_null = start_or_null
 
-    phi_null = normalize_rows(phi_null, quad, bx, by)
-    for _ in range(cfg.ortho_passes):
-        phi_null = ortho_pass(phi_null, quad, bx, by)
-    worst = check_ortho(phi_null, quad, bx, by)
-    Dc = coarse_operator(D, phi_null, quad, bx, by)
+    # Ortho + Galerkin pin HIGHEST matmul precision: TPUs run f32
+    # einsums as bf16 MXU passes by default, which left the transfer
+    # rows orthonormal only to ~1e-2 on hardware (measured via the
+    # on-TPU self-test artifact; the reference's f_check_ortho bar is
+    # 1e-12). Setup is compile/HBM-dominated, so the cost is noise;
+    # cycle-time einsums keep the fast default.
+    with jax.default_matmul_precision("highest"):
+        phi_null = normalize_rows(phi_null, quad, bx, by)
+        for _ in range(cfg.ortho_passes):
+            phi_null = ortho_pass(phi_null, quad, bx, by)
+        worst = check_ortho(phi_null, quad, bx, by)
+        Dc = coarse_operator(D, phi_null, quad, bx, by)
     return D0inv, phi_null, Dc, worst
 
 

@@ -62,14 +62,20 @@ def test3_hermiticity(D, stencil: str):
 
 def test4_hermiticity_full(D, vec, stencil: str):
     """<v|D|v> real (laplace) / <v|D gamma5|v> real (wilson)
-    (tests.h:184-248). Returns |Im <...>|."""
+    (tests.h:184-248). Returns the RELATIVE imaginary part
+    |Im <...>| / |<...>| — the raw inner product is O(L^2) in magnitude,
+    so an absolute measure conflates reduction rounding with a genuine
+    hermiticity violation (measured: f32 TPU reductions give ~0.5
+    absolute on an O(1e5) value = 5e-6 relative, while CPU reduction
+    order happens to land at 1e-4 absolute)."""
     n = D.shape[1]
     if stencil == "wilson":
         g5 = jnp.asarray(gamma5(n), dtype=D.dtype)
         D = jnp.einsum("sijxy,jk->sikxy", D, g5)
     w = apply_D(D, vec)
     val = jnp.sum(jnp.conj(vec) * w)
-    return jnp.abs(jnp.imag(val))
+    return jnp.abs(jnp.imag(val)) / jnp.maximum(jnp.abs(val),
+                                                jnp.finfo(vec.real.dtype).tiny)
 
 
 def test_gauge_invariance_solve(cfg: MGConfig, U, omega, max_iters=200):
@@ -118,6 +124,11 @@ def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
     # generation (fold_in per level, inside the program): eager per-op
     # dispatch and any complex boundary crossing are failure classes on
     # relay-style TPU backends (CLAUDE.md).
+    #
+    # Matmul precision: TPUs execute f32 einsums as bf16 MXU passes by
+    # default — fine for the iterative solver, but these are EXACT
+    # identity checks (measured: worst violation 0.31 at default
+    # precision on a v5e vs ~2e-6 at HIGHEST). The programs pin HIGHEST.
     def _vec(key, lvl, n, S):
         k = jax.random.fold_in(key, lvl)
         k1, k2 = jax.random.split(k)
@@ -137,14 +148,15 @@ def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
                 fine = hier.levels[lvl - 1]
 
                 def prog(pn, Dq, Df, key, lvl=lvl, q=q, n=n, S=S):
-                    vec = _vec(key, lvl, n, S)
-                    return jnp.stack([
-                        test1_restriction_prolongation(pn, vec, q + 1,
-                                                       bx, by),
-                        test2_galerkin(Dq, Df, pn, vec, q + 1, bx, by),
-                        test3_hermiticity(Dq, cfg.stencil),
-                        test4_hermiticity_full(Dq, vec, cfg.stencil),
-                    ]).astype(jnp.float32)
+                    with jax.default_matmul_precision("highest"):
+                        vec = _vec(key, lvl, n, S)
+                        return jnp.stack([
+                            test1_restriction_prolongation(pn, vec, q + 1,
+                                                           bx, by),
+                            test2_galerkin(Dq, Df, pn, vec, q + 1, bx, by),
+                            test3_hermiticity(Dq, cfg.stencil),
+                            test4_hermiticity_full(Dq, vec, cfg.stencil),
+                        ]).astype(jnp.float32)
 
                 vals = np.asarray(aot_call(
                     prog, pn, Dq, fine.D, key,
@@ -155,14 +167,15 @@ def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
             fine = hier.levels[lvl - 1]
 
             def prog(Dl, Df, pn, key, lvl=lvl, n=n, S=S):
-                vec = _vec(key, lvl, n, S)
-                return jnp.stack([
-                    test1_restriction_prolongation(pn, vec, cfg.quad,
-                                                   bx, by),
-                    test2_galerkin(Dl, Df, pn, vec, cfg.quad, bx, by),
-                    test3_hermiticity(Dl, cfg.stencil),
-                    test4_hermiticity_full(Dl, vec, cfg.stencil),
-                ]).astype(jnp.float32)
+                with jax.default_matmul_precision("highest"):
+                    vec = _vec(key, lvl, n, S)
+                    return jnp.stack([
+                        test1_restriction_prolongation(pn, vec, cfg.quad,
+                                                       bx, by),
+                        test2_galerkin(Dl, Df, pn, vec, cfg.quad, bx, by),
+                        test3_hermiticity(Dl, cfg.stencil),
+                        test4_hermiticity_full(Dl, vec, cfg.stencil),
+                    ]).astype(jnp.float32)
 
             vals = np.asarray(aot_call(
                 prog, lev.D, fine.D, fine.phi_null, key,
@@ -171,11 +184,12 @@ def run_mg_tests(hier: Hierarchy, cfg: MGConfig, key=None) -> dict:
                 out[f"lvl{lvl}_{t}"] = float(vals[i])
         else:
             def prog(Dl, key, lvl=lvl, n=n, S=S):
-                vec = _vec(key, lvl, n, S)
-                return jnp.stack([
-                    test3_hermiticity(Dl, cfg.stencil),
-                    test4_hermiticity_full(Dl, vec, cfg.stencil),
-                ]).astype(jnp.float32)
+                with jax.default_matmul_precision("highest"):
+                    vec = _vec(key, lvl, n, S)
+                    return jnp.stack([
+                        test3_hermiticity(Dl, cfg.stencil),
+                        test4_hermiticity_full(Dl, vec, cfg.stencil),
+                    ]).astype(jnp.float32)
 
             vals = np.asarray(aot_call(prog, lev.D, key,
                                        key=("mgtests0", cfg, lvl)))
