@@ -176,16 +176,21 @@ def build_hierarchy(D0: jnp.ndarray, cfg: MGConfig, key=None,
 def _build_ntl_core(phi_null0, D, cfg: MGConfig):
     bx, by = cfg.block_x, cfg.block_y
     pns, Ds, Dinvs, worsts = [], [], [], []
-    for q in range(cfg.n_copies):
-        quad = q + 1
-        pn = normalize_rows(phi_null0, cfg.quad, bx, by)
-        for _ in range(cfg.ortho_passes):
-            pn = ortho_pass(pn, quad, bx, by)
-        worsts.append(check_ortho(pn, quad, bx, by))
-        Dc = coarse_operator(D, pn, quad, bx, by)
-        pns.append(pn)
-        Ds.append(Dc)
-        Dinvs.append(site_inverse(Dc[0]))
+    # HIGHEST matmul precision: same bf16-default pitfall as
+    # _setup_level_core — without it the per-quadrant transfer rows are
+    # orthonormal only to ~1e-2 on TPU and the NTL Galerkin operators
+    # drift by the same amount (measured via bench_rungs/tpu_numerics)
+    with jax.default_matmul_precision("highest"):
+        for q in range(cfg.n_copies):
+            quad = q + 1
+            pn = normalize_rows(phi_null0, cfg.quad, bx, by)
+            for _ in range(cfg.ortho_passes):
+                pn = ortho_pass(pn, quad, bx, by)
+            worsts.append(check_ortho(pn, quad, bx, by))
+            Dc = coarse_operator(D, pn, quad, bx, by)
+            pns.append(pn)
+            Ds.append(Dc)
+            Dinvs.append(site_inverse(Dc[0]))
     ntl = NTLOps(phi_null=jnp.stack(pns), D=jnp.stack(Ds),
                  D0inv=jnp.stack(Dinvs))
     return ntl, jnp.stack(worsts)
