@@ -944,9 +944,14 @@ PHASES = {
     "stencil_batch_16": lambda: phase_stencil_batch(B=16, reps=1500),
     "stencil_batch_3": lambda: phase_stencil_batch(B=3, reps=6000),
     "stencil_stream": lambda: phase_stencil(L=1024, reps=2000, phase="stencil_stream"),
-    # L=2048: the links-only operator (201 MB) also exceeds physical VMEM,
-    # so the spin-projected path gets an honest streaming roofline too
+    # L=2048 dense (800 MB) is the primary roofline rung (> 2x VMEM,
+    # protocol v3.1); the links-only operator (201 MB) sits at the
+    # boundary there and reports effective bandwidth
     "stencil_stream_2048": lambda: phase_stencil(L=2048, reps=500, phase="stencil_stream_2048"),
+    # L=4096 (dense 3.2 GB, links 800 MB): a second independent roofline
+    # point far beyond any residency effect; links-only becomes
+    # roofline-eligible here too
+    "stencil_stream_4096": lambda: phase_stencil(L=4096, reps=150, phase="stencil_stream_4096"),
     "stencil_stream_768": lambda: phase_stencil(L=768, reps=3000, phase="stencil_stream_768"),
     "stencil_stream_512": lambda: phase_stencil(L=512, reps=6000, phase="stencil_stream_512"),
     "stencil_stream_384": lambda: phase_stencil(L=384, reps=10000, phase="stencil_stream_384"),
@@ -1109,7 +1114,7 @@ def _print_headline(stream):
 # Order = expected value under the observed relay: one shot at the ideal
 # single-config L=1024 stream, then the batched-256 stream (the only
 # streaming shape the relay has ever completed), then the remaining rungs.
-_HEADLINE_PHASES = ("stencil_stream_2048",
+_HEADLINE_PHASES = ("stencil_stream_2048", "stencil_stream_4096",
                     "stencil_stream", "stencil_batch_16", "stencil_batch",
                     "stencil_stream_768", "stencil_stream_512",
                     "stencil_stream_384", "stencil_batch_3", "stencil",
