@@ -133,7 +133,8 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
              inner_cycles: int = 2, max_iters: Optional[int] = None,
              inner_dtype: str = "complex64",
              D_outer: Optional[jnp.ndarray] = None,
-             planes: Optional[bool] = None) -> SolveResult:
+             planes: Optional[bool] = None,
+             outer_chunk: int = 1) -> SolveResult:
     """Mixed-precision iterative refinement (defect correction).
 
     Outer loop in cfg.dtype (complex128 for the reference's 1e-13
@@ -176,7 +177,7 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
 
     if planes:
         return _solve_ir_planes(hier_in, D_outer, b, cfg, cfg_in,
-                                inner_cycles, max_iters)
+                                inner_cycles, max_iters, outer_chunk)
 
     D_outer = D_outer.astype(cfg.cdtype)
     from ..utils.xfer import device_full
@@ -224,7 +225,8 @@ def solve_ir(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
 
 
 def _solve_ir_planes(hier_in, D_outer, b, cfg: MGConfig, cfg_in: MGConfig,
-                     inner_cycles: int, max_iters: int) -> SolveResult:
+                     inner_cycles: int, max_iters: int,
+                     outer_chunk: int = 1) -> SolveResult:
     """solve_ir outer loop with complex128 state held as F64 real/imag
     plane pairs (C128-free programs; see solve_ir docstring). The inner
     MG cycles still run natively in complex64 — the c64 value is built
@@ -274,15 +276,32 @@ def _solve_ir_planes(hier_in, D_outer, b, cfg: MGConfig, cfg_in: MGConfig,
         rn2 = jnp.sqrt(jnp.sum(rre2 * rre2 + rim2 * rim2))
         return pre2, pim2, rre2, rim2, rn2
 
+    # outer_chunk > 1: run several defect-correction steps in ONE
+    # program — on a remote/tunneled backend the warm IR solve is
+    # dominated by the per-dispatch round trip (~100 ms each), not
+    # compute (measured: 24 cycles = 12 outer dispatches ~= 1.2-1.4 s
+    # warm at 256^2, nearly all latency). The host checks convergence
+    # between chunks; cycle counts are reported at chunk granularity, so
+    # the default stays 1 for reference-comparable counts.
+
+    def steps(Dre, Dim, hier_in, pre, pim, rre, rim, bre, bim):
+        st = (pre, pim, rre, rim)
+        for _ in range(outer_chunk):   # unrolled: tiny fixed count
+            pre2, pim2, rre2, rim2, _ = step(Dre, Dim, hier_in, *st,
+                                             bre, bim)
+            st = (pre2, pim2, rre2, rim2)
+        rn2 = jnp.sqrt(jnp.sum(st[2] * st[2] + st[3] * st[3]))
+        return st + (rn2,)
+
     history = []
     resmag = float("inf")
     outer = 0
     while outer * inner_cycles < max_iters:
         pre, pim, rre, rim, rn2 = aot_call(
-            step, Dre, Dim, hier_in, pre, pim, rre, rim, bre, bim,
+            steps, Dre, Dim, hier_in, pre, pim, rre, rim, bre, bim,
             key=("ir_planes", cfg.replace(res_threshold=0.0),
-                 cfg_in.dtype, inner_cycles))
-        outer += 1
+                 cfg_in.dtype, inner_cycles, outer_chunk))
+        outer += outer_chunk
         resmag = float(rn2) / bn
         history.append(resmag)
         if resmag < cfg.res_threshold or resmag > cfg.div_threshold \
@@ -293,7 +312,7 @@ def _solve_ir_planes(hier_in, D_outer, b, cfg: MGConfig, cfg_in: MGConfig,
                        resmag=resmag,
                        converged=resmag < cfg.res_threshold,
                        history=np.asarray(history),
-                       history_stride=inner_cycles)
+                       history_stride=inner_cycles * outer_chunk)
 
 
 def solve_with_history(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
