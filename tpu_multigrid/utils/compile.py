@@ -23,19 +23,34 @@ DEFAULT_CACHE_DIR = os.environ.get(
 _persistent_enabled = False
 
 
-def enable_persistent_cache(path: str | None = None) -> str:
-    """Enable JAX's on-disk XLA compilation cache.
+def enable_persistent_cache(path: str | None = None,
+                            force: bool = False) -> str:
+    """Enable JAX's on-disk XLA compilation cache (TPU platforms only
+    unless force=True).
 
     Driver runs pay ~100 s of setup recompilation per process start
     (per-(cfg,shape) aot_call executables); with the persistent cache a
     second process start with the same shapes hits the disk cache and
-    skips XLA compilation entirely. Safe to call multiple times. Set
-    TPU_MG_COMPILE_CACHE=0 to disable. Returns the cache dir ('' if
-    disabled)."""
+    skips XLA compilation entirely — measured through the axon relay:
+    114.5 s remote compile -> 0.58 s disk load. Safe to call multiple
+    times. Set TPU_MG_COMPILE_CACHE=0 to disable. Returns the cache dir
+    ('' if disabled).
+
+    CPU gating: XLA:CPU AOT cache entries are specialized to the exact
+    host CPU features — loading entries written by a different machine
+    (or toolchain) warns 'could lead to execution errors such as
+    SIGILL'. CPU compiles are fast anyway, so the cache only engages on
+    tpu/axon."""
     global _persistent_enabled
     path = path or DEFAULT_CACHE_DIR
     if not path or path == "0":
         return ""
+    if not force:
+        try:
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return ""
+        except Exception:
+            return ""
     if not _persistent_enabled:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
