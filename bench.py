@@ -380,11 +380,15 @@ def bench_stencil_batch(L=256, B=8, reps=30, tries=2, on_partial=None):
     failed with UNIMPLEMENTED), but L=256 programs run fine. The batch
     axis is also the production multi-RHS/ensemble shape
     (solver/ensemble.py), so this is a real workload, not a synthetic.
-    The honest streaming threshold is PHYSICAL VMEM (128 MiB): B=16
-    (201 MB) is the streaming rung; B=8 (~100 MB) and B=3 (~38 MB) are
-    shaky-window fallbacks that report vmem_resident effective-bandwidth
-    figures, not rooflines — observed windows pass the tiny canary yet
-    fail every B=16 / L>=512 program, so the ladder keeps small rungs."""
+    Under protocol v3.1 only working sets > 2x physical VMEM (256 MiB)
+    are roofline-eligible: B=16 (201 MB) is a `vmem_boundary` rung
+    (partial cross-iteration residency is real — measured 1.07x nominal
+    peak on minimum-traffic bytes) and B=8 (~100 MB) / B=3 (~38 MB) are
+    `vmem_resident` shaky-window fallbacks; all three report
+    effective-bandwidth figures, never rooflines
+    (test_streaming_threshold_is_2x_physical_vmem pins this) — observed
+    windows pass the tiny canary yet fail every B=16 / L>=512 program,
+    so the ladder keeps small rungs."""
     import jax
     import jax.numpy as jnp
     import tpu_multigrid as mg
@@ -600,9 +604,13 @@ def bench_solve256_ir(tries=2):
     """The literal BASELINE solve on the accelerator: wilson 256^2 NTL
     -> relative residual 1e-8 AND the reference's own 1e-13 criterion
     (params.h:67), via mixed-precision iterative refinement
-    (driver.solve_ir): setup + all MG cycle FLOPs in complex64 (the TPU
-    fast path incl. Pallas smoothers), one exact complex128 stencil
-    apply per outer step. The reference runs uniformly double on one CPU
+    (driver.solve_ir): setup + all MG cycle FLOPs in complex64, one
+    exact complex128 stencil apply per outer step. NOTE: this phase
+    enables jax_enable_x64 for the f64 outer planes, and
+    pallas_stencil._on_tpu() gates Pallas OFF in x64 processes (Mosaic
+    lowering bug, CLAUDE.md) — the inner c64 cycles here run the XLA
+    path (+ the links-only level-0 fast path), not the Pallas
+    smoothers; solve256 measures the Pallas-smoother cycle. The reference runs uniformly double on one CPU
     thread: 15 cycles to 1e-8, 28 to 1e-13, 164.6 s total incl. setup
     (modules_main.h:442-481 loop; measured via scripts/reference_oracle).
 

@@ -244,10 +244,14 @@ def _solve_ir_planes(hier_in, D_outer, b, cfg: MGConfig, cfg_in: MGConfig,
 
     rdt = jnp.float64
     # ingress: b and D_outer as host numpy -> f64 plane pairs (real
-    # transfers only; complex never crosses the boundary)
-    b_h = np.asarray(b)
-    Dre = jnp.asarray(np.real(np.asarray(D_outer)), rdt)
-    Dim = jnp.asarray(np.imag(np.asarray(D_outer)), rdt)
+    # transfers only; complex never crosses the boundary). Device-resident
+    # inputs (e.g. the default D_outer=hier.levels[0].D) are fetched via
+    # xfer.host_complex — a plain np.asarray on a device complex array is
+    # the measured relay failure class (CLAUDE.md).
+    b_h = b if isinstance(b, np.ndarray) else host_complex(b)
+    D_h = D_outer if isinstance(D_outer, np.ndarray) else host_complex(D_outer)
+    Dre = jnp.asarray(np.real(D_h), rdt)
+    Dim = jnp.asarray(np.imag(D_h), rdt)
     bre = jnp.asarray(np.real(b_h), rdt)
     bim = jnp.asarray(np.imag(b_h), rdt)
     pre = jnp.zeros_like(bre)

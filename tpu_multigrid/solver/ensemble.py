@@ -85,9 +85,9 @@ def solve_ensemble(hier_b: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
     if mesh is not None:
         if bs.shape[0] % mesh.devices.size:
             raise ValueError(
-                f"ensemble batch {bs.shape[0]} must divide the mesh's "
-                f"{mesh.devices.size} devices (shard_ensemble would "
-                "silently replicate the whole ensemble otherwise)")
+                f"mesh device count {mesh.devices.size} must evenly "
+                f"divide ensemble batch {bs.shape[0]} (shard_ensemble "
+                "would silently replicate the whole ensemble otherwise)")
         hier_b, bs = shard_ensemble((hier_b, bs), mesh,
                                     batch=bs.shape[0])
 
