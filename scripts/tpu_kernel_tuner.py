@@ -51,8 +51,15 @@ elif mode == "xlau":        # spin-projected links-only (XLA)
     args = (U, v)
     nbytes = (2 + 2*n) * L * L * 8
 elif mode == "pallas_u":    # spin-projected links-only (Pallas tiled)
-    f = lambda U, v: ps.apply_wilson_u_pallas(U, cfg.m, v, TX=TX or None)
-    args = (U, v)
+    # ul (6 f32 link planes incl. pre-shifted uym) precomputed OUTSIDE
+    # the timed loop, as the bench does; min-traffic bytes stay the
+    # 6-word honest minimum
+    ul = jax.jit(ps.u_link_planes)(U)
+    f = lambda ul, v: ps.apply_wilson_u_pallas(None, cfg.m, v, ul=ul)
+    if TX:
+        f = lambda ul, v: ps.apply_wilson_u_pallas(None, cfg.m, v, TX=TX,
+                                                   ul=ul)
+    args = (ul, v)
     nbytes = (2 + 2*n) * L * L * 8
 else:
     raise SystemExit(2)
@@ -96,15 +103,18 @@ def main():
     # L=2048 is the honest streaming regime for BOTH representations
     # (dense 800 MB, links-only 201 MB); the TX ladder leans large now
     # that the 64 MiB scoped-VMEM compile limit admits big tiles.
+    # Round-5 focus: the rewritten links-only kernel (packed ul/vp
+    # operands, pre-shifted uym — 4 lane rolls instead of 6) at its
+    # honest streaming scale L=4096 (805 MB set; VERDICT r4 item 2
+    # target bw_fraction >= 0.60) and the 2048 rung, over a TX ladder.
+    # TX=0 -> the _pick_tile_u default.
     items = []
-    for TX in (256, 512, 128, 1024, 64):
+    for TX in (0, 64, 128, 256, 32, 512):
+        items.append(("pallas_u", 4096, TX))
+    for TX in (0, 128, 256, 64, 512):
         items.append(("pallas_u", 2048, TX))
-    for TX in (32, 64, 16, 128, 8):
+    for TX in (0, 64):
         items.append(("tiled", 2048, TX))
-    for TX in (128, 256, 64, 512):
-        items.append(("pallas_u", 1024, TX))
-    for TX in (32, 64, 16):
-        items.append(("tiled", 1024, TX))
     results = []
     env = dict(os.environ)
     env["TPU_MG_SCOPED_VMEM_KIB"] = env.get("TPU_MG_SCOPED_VMEM_KIB",

@@ -97,6 +97,30 @@ def main():
             relerr(f"pallas_u_{L}",
                    lambda U, v: ps.apply_wilson_u_pallas(U, m, v),
                    lambda U, v: apply_wilson_u(U, m, v), (U, v))
+            relerr(f"pallas_u_resid_tiled_{L}",
+                   lambda U, p, r: ps.wilson_u_residual_pallas(
+                       U, m, p, r, "tiled"),
+                   lambda U, p, r: r - apply_wilson_u(U, m, p), (U, v, zero))
+            relerr(f"pallas_u_smooth_tiled_{L}",
+                   lambda U, D, Di, p, r: ps.wilson_u_smooth_pallas_tiled(
+                       U, m, p, r, 2, "rbgs"),
+                   lambda U, D, Di, p, r: smooth(D, Di, p, r, 2, "rbgs"),
+                   (U, D, D0inv, zero, v))
+        if ps.u_fits_vmem(L):
+            relerr(f"pallas_u_vmem_{L}",
+                   lambda U, v: ps.apply_wilson_u_pallas_vmem(U, m, v),
+                   lambda U, v: apply_wilson_u(U, m, v), (U, v))
+            relerr(f"pallas_u_resid_vmem_{L}",
+                   lambda U, p, r: ps.wilson_u_residual_pallas(
+                       U, m, p, r, "vmem"),
+                   lambda U, p, r: r - apply_wilson_u(U, m, p), (U, v, zero))
+            for kind in ("jacobi", "rbgs"):
+                relerr(f"pallas_u_smooth_{kind}_{L}",
+                       lambda U, D, Di, p, r, k=kind:
+                           ps.wilson_u_smooth_pallas(U, m, p, r, 2, k),
+                       lambda U, D, Di, p, r, k=kind:
+                           smooth(D, Di, p, r, 2, k),
+                       (U, D, D0inv, zero, v))
 
     # reference self-test suite (tests.h tests 1-4) on the real device,
     # flagship shape: wilson NTL 32^2 / 3 levels, complex64

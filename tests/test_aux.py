@@ -99,10 +99,17 @@ def test_persistent_compile_cache(tmp_path):
 
     path = str(tmp_path / "xla_cache")
     # CPU platforms are gated off (machine-feature-specialized AOT
-    # entries risk SIGILL across hosts); force=True for the wiring test
-    assert uc.enable_persistent_cache(path) == ""
-    assert uc.enable_persistent_cache(path, force=True) == path
-    jax.jit(lambda a: (a @ a).sum()).lower(
-        jnp.ones((64, 64))).compile()
-    import os
-    assert os.listdir(path), "no cache entries written"
+    # entries risk SIGILL across hosts); force=True for the wiring test.
+    # MUST disable afterwards: leaving the cache on makes every later
+    # large CPU compile in this pytest process attempt an executable
+    # serialization, which segfaults flakily (see
+    # utils.compile.disable_persistent_cache docstring).
+    try:
+        assert uc.enable_persistent_cache(path) == ""
+        assert uc.enable_persistent_cache(path, force=True) == path
+        jax.jit(lambda a: (a @ a).sum()).lower(
+            jnp.ones((64, 64))).compile()
+        import os
+        assert os.listdir(path), "no cache entries written"
+    finally:
+        uc.disable_persistent_cache()

@@ -104,3 +104,29 @@ def test_near_null_quality():
         r0 = float(jnp.linalg.norm(apply_D(D, v0 / jnp.linalg.norm(v0))))
         r1 = float(jnp.linalg.norm(apply_D(D, v1)))
         assert r1 < 0.05 * r0
+
+
+def test_deep_coarsening_joint_qr():
+    """Reference-style independent candidate relaxation degenerates on a
+    4^2 setup level (both candidates contract onto the single lowest
+    mode; the reference's f_ortho guards exit(1) on the same math) —
+    MGConfig.null_joint_qr=True orthonormalizes the candidate set during
+    generation (block power iteration) and makes 2^2-coarsest
+    hierarchies buildable and convergent."""
+    import tpu_multigrid as mg
+    from tpu_multigrid.models import gauge, operators
+
+    cfg = mg.MGConfig(L=8, stencil="laplace", m=0.01, nlevels=2,
+                      num_iters=4, null_iters=100, smoother="rbgs",
+                      dtype="complex128", null_joint_qr=True,
+                      res_threshold=1e-8)
+    U = gauge.identity_gauge(8, cfg.cdtype)
+    D = operators.assemble("laplace", U, cfg.m)
+    with pytest.raises(FloatingPointError):
+        mg.build_hierarchy(D, cfg.replace(null_joint_qr=False), check=True)
+    hier = mg.build_hierarchy(D, cfg, check=True)
+    t = mg.testing.run_mg_tests(hier, cfg)
+    assert max(t.values()) < 1e-10
+    out = mg.solve_with_history(hier, mg.point_source(cfg), cfg,
+                                max_iters=100)
+    assert out.converged

@@ -121,3 +121,68 @@ def test_apply_wilson_u_pallas_tiled(interpret_pallas, TX):
     err = float(jnp.max(jnp.abs(out_p - out_x))
                 / jnp.max(jnp.abs(out_x)))
     assert err < 2e-6
+
+
+def _setup_u(L=32, seed=3):
+    cfg, D, v = _setup("wilson", L=L)
+    rng = np.random.default_rng(seed)
+    U = gauge.gauge_from_phases(0.2 * rng.normal(size=(2, L, L)),
+                                cfg.cdtype)
+    D = operators.assemble("wilson", U, cfg.m)
+    return cfg, U, D, v
+
+
+def test_apply_wilson_u_pallas_vmem(interpret_pallas):
+    """Whole-VMEM links-only kernel == dense XLA apply."""
+    cfg, U, D, v = _setup_u()
+    out_p = ps.apply_wilson_u_pallas_vmem(U, cfg.m, v)
+    out_x = stencil.apply_D(D, v)
+    err = float(jnp.max(jnp.abs(out_p - out_x)) / jnp.max(jnp.abs(out_x)))
+    assert err < 2e-6
+
+
+@pytest.mark.parametrize("mode", ["vmem", "tiled"])
+def test_wilson_u_residual_pallas(interpret_pallas, mode):
+    """Fused links-only residual kernels == r - D phi (XLA)."""
+    cfg, U, D, v = _setup_u()
+    r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
+    res_p = ps.wilson_u_residual_pallas(U, cfg.m, v, r, mode,
+                                        TX=8 if mode == "tiled" else None)
+    res_x = stencil.residual(D, v, r)
+    err = float(jnp.max(jnp.abs(res_p - res_x)) / jnp.max(jnp.abs(v)))
+    assert err < 2e-6
+
+
+@pytest.mark.parametrize("kind", ["jacobi", "rbgs"])
+def test_wilson_u_smooth_pallas_vmem(interpret_pallas, kind):
+    """Whole-VMEM links-only smoother == dense XLA smoother (identical
+    math: the level-0 diagonal is the scalar 2+m)."""
+    cfg, U, D, v = _setup_u()
+    Dinv = stencil.site_inverse(D[0])
+    r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
+    phi_p = ps.wilson_u_smooth_pallas(U, cfg.m, v, r, 3, kind)
+    phi_x = smooth(D, Dinv, v, r, 3, kind)
+    rel = float(jnp.max(jnp.abs(phi_p - phi_x)) / jnp.max(jnp.abs(phi_x)))
+    assert rel < 2e-5
+
+
+@pytest.mark.parametrize("kind", ["jacobi", "rbgs"])
+def test_wilson_u_smooth_pallas_tiled(interpret_pallas, kind):
+    """x-tiled links-only smoother (TX=8 -> 4-tile grid at L=32: exercises
+    the inter-tile halo splice and global parity offset)."""
+    cfg, U, D, v = _setup_u()
+    Dinv = stencil.site_inverse(D[0])
+    r = jnp.zeros_like(v).at[0, 2, 2].set(5.0)
+    phi_p = ps.wilson_u_smooth_pallas_tiled(U, cfg.m, v, r, 2, kind, TX=8)
+    phi_x = smooth(D, Dinv, v, r, 2, kind)
+    rel = float(jnp.max(jnp.abs(phi_p - phi_x)) / jnp.max(jnp.abs(phi_x)))
+    assert rel < 2e-5
+
+
+def test_u_mode_gating():
+    """Links-kernel dispatch: c64-only, vmem below the plane budget,
+    tiled above, XLA for unalignable sizes."""
+    assert ps.u_fits_vmem(256) and ps.u_fits_vmem(384)
+    assert not ps.u_fits_vmem(512)
+    assert ps._pick_tile_u(2048) % 8 == 0
+    assert ps.u_mode(jnp.complex128, 256) is None  # c128 -> XLA

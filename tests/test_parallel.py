@@ -210,3 +210,56 @@ def test_sharded_chebyshev_matches_single_device(rng):
     assert float(res) < cfg_ch.res_threshold
     assert int(iters) == ref.iters
     np.testing.assert_allclose(np.asarray(phis[0]), ref.phi, atol=1e-10)
+
+
+@requires_8
+def test_halo_overlap_matches_concat(rng):
+    """Interior/boundary-split hop schedule == permute-then-concat
+    baseline == single-device roll ground truth (SURVEY §5.8 overlap
+    structure; identical per-site contractions, different association)."""
+    mesh = mesh24()
+    L = 16
+    U = gauge.gauge_from_phases(rng.normal(size=(2, L, L)) * 0.3)
+    D = operators.assemble_wilson(U, -0.05)
+    v = jnp.asarray(rng.normal(size=(2, L, L))
+                    + 1j * rng.normal(size=(2, L, L)))
+    specs = dict(in_specs=(P(None, None, None, "x", "y"),
+                           P(None, "x", "y")),
+                 out_specs=P(None, "x", "y"))
+    f_ov = jax.jit(jax.shard_map(
+        lambda D, v: halo.apply_D_sharded(D, v, overlap=True),
+        mesh=mesh, **specs))
+    f_cc = jax.jit(jax.shard_map(
+        lambda D, v: halo.apply_D_sharded(D, v, overlap=False),
+        mesh=mesh, **specs))
+    ref = np.asarray(stencil.apply_D(D, v))
+    np.testing.assert_allclose(np.asarray(f_ov(D, v)), ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_ov(D, v)),
+                               np.asarray(f_cc(D, v)), atol=1e-13)
+
+
+@requires_8
+def test_sharded_solve_overlap_flag(rng):
+    """The full sharded NTL solve gives the same trajectory with the
+    overlap schedule and the concat baseline (flag-selectable,
+    cfg.halo_overlap)."""
+    L = 16
+    cfg = MGConfig(L=L, stencil="wilson", m=-0.005, nlevels=2, ntl=True,
+                   n_copies=4, num_iters=3, null_iters=16,
+                   dtype="complex64", smoother="rbgs", res_threshold=1e-20)
+    mesh = mesh24()
+    U = gauge.gauge_from_phases(0.2 * rng.normal(size=(2, L, L)),
+                                cfg.cdtype)
+    D = operators.assemble(cfg.stencil, U, cfg.m)
+    hier = build_hierarchy(D, cfg, check=False)
+    b = point_source(cfg)
+    phis = zero_fields(cfg)
+    outs = {}
+    for ov in (True, False):
+        c = cfg.replace(halo_overlap=ov)
+        solver = sharded.make_sharded_solver(c, mesh, max_iters=3)(hier)
+        hs = sharded.shard_hierarchy(hier, c, mesh)
+        ph, it, res = solver(hs, phis, b)
+        outs[ov] = (np.asarray(ph[0]), float(res))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=1e-5)
+    assert abs(outs[True][1] - outs[False][1]) < 1e-6

@@ -24,6 +24,7 @@ from .solver.cycles import v_cycle, ntl_cycle, cycle, min_res_weights
 from .solver.driver import (solve, solve_chunked, solve_with_history,
                             solve_ir, solve_fmg, mr_solve, SolveResult)
 from .solver.eo import eo_mr_solve
+from .solver.krylov import fgmres_solve, cgnr_solve, cgnr_solve_ir
 from .solver import eigs
 
 __version__ = "0.1.0"

@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--solver", choices=["stationary", "fgmres", "ir",
-                                        "fmg", "eo_mr"],
+                                        "fmg", "eo_mr", "cgnr"],
                    default="stationary",
                    help="outer iteration: stationary MG cycles (reference "
                         "behavior), MG-preconditioned flexible GMRES, "
@@ -289,6 +289,18 @@ def main(argv=None):
                           inner_cycles=getattr(ns, "ir_inner_cycles", 2))
     elif getattr(ns, "solver", "stationary") == "fmg":
         out = mg.solve_fmg(hier, b, cfg)
+    elif getattr(ns, "solver", "stationary") == "cgnr":
+        # indefinite-capable: CG on the normal equations (krylov.py) —
+        # converges where stationary MG / fgmres / eo_mr stall (the
+        # reference's literal m=-0.07 regime on beta=32 ensembles)
+        from .solver.krylov import cgnr_solve
+        phi, iters, rel = cgnr_solve(hier.levels[0].D, b,
+                                     tol=cfg.res_threshold,
+                                     max_iters=cfg.max_iters, chunk=500)
+        from .solver.driver import SolveResult
+        from .utils.xfer import host_complex
+        out = SolveResult(phi=host_complex(phi), iters=iters, resmag=rel,
+                          converged=rel < cfg.res_threshold)
     elif getattr(ns, "solver", "stationary") == "eo_mr":
         phi, iters, rel = mg.eo_mr_solve(hier.levels[0].D, b,
                                          tol=cfg.res_threshold,

@@ -78,6 +78,11 @@ class MGConfig:
     null_iters: int = 500
     iters_per_norm: int = 4
     ortho_passes: int = 2        # deliberate double Gram-Schmidt
+    # Jointly orthonormalize the candidate set at every renormalization
+    # (block power iteration). False = reference behavior (independent
+    # candidates), which degenerates on <= ~4^2 setup levels — see
+    # ops/nearnull.relax_null_vectors.
+    null_joint_qr: bool = False
 
     # Outer iteration (params.h:64-67).
     max_iters: int = 50000
@@ -101,6 +106,23 @@ class MGConfig:
     # Pallas kernel dispatch: 'auto' uses the fused kernels where
     # applicable (complex64 + fits VMEM + TPU backend), 'off' forces XLA.
     pallas: str = "auto"
+    # Level-0 links-only (spin-projected) fast path: when the hierarchy
+    # carries the gauge links (build_hierarchy(..., U=U)), wilson level-0
+    # smoother sweeps and residuals stream 4 link planes instead of the
+    # 20 dense-D planes — identical math (ops/gauge_stencil.py, pinned by
+    # tests/test_gauge_stencil.py), ~3x less HBM traffic.
+    #   'auto' -> use it in complex64 (the production/roofline mode);
+    #             complex128 validation runs keep the dense path so
+    #             committed golden trajectories stay bit-stable.
+    #   'on'   -> use whenever links are available (any dtype).
+    #   'off'  -> always dense.
+    links: str = "auto"
+    # Sharded halo exchange schedule (parallel/halo.py): True issues the
+    # four edge ppermutes first, computes the interior hop on local data,
+    # and patches boundary rows/columns as edges land — XLA can overlap
+    # the ICI transfers with the interior stencil compute (SURVEY §5.8,
+    # §7.1). False is the permute-then-concatenate baseline.
+    halo_overlap: bool = True
 
     def __post_init__(self):
         if self.stencil not in STENCILS:
@@ -117,6 +139,8 @@ class MGConfig:
         if self.ntl_combine not in ("auto", "minres", "avg_prolong",
                                     "avg_coarse"):
             raise ValueError(f"bad ntl_combine {self.ntl_combine!r}")
+        if self.links not in ("auto", "on", "off"):
+            raise ValueError(f"bad links {self.links!r}")
         if self.smoother == "chebyshev":
             if (self.cheby_lmax is None
                     or len(self.cheby_lmax) != self.nlevels + 1):

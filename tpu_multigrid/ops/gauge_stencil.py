@@ -96,6 +96,12 @@ def apply_u(stencil: str, U, m: float, v):
         U, m, v)
 
 
+def residual_u(stencil: str, U, m: float, phi, r):
+    """r - D phi in the links-only representation (matches
+    ops.stencil.residual on the assembled dense stencil)."""
+    return r - apply_u(stencil, U, m, phi)
+
+
 def _hop(stencil: str):
     return wilson_hop_u if stencil == "wilson" else laplace_hop_u
 

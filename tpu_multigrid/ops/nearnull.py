@@ -23,22 +23,58 @@ from .norms import normalize
 
 
 def relax_null_vectors(D, D0inv, starts, null_iters: int,
-                       iters_per_norm: int, smoother: str, omega: float = 1.0):
+                       iters_per_norm: int, smoother: str, omega: float = 1.0,
+                       joint_qr: bool = False):
     """Relax each start vector toward the near-null space of D.
 
     starts: [k, nf, L, L]. Returns same shape, globally normalized.
+
+    joint_qr=False reproduces the reference's scheme: each candidate is
+    relaxed INDEPENDENTLY (level.h:177-249 d1 loop), differing only by
+    its random start. On very small lattices (<= ~4^2 setup levels) the
+    relaxation contracts every candidate onto the single lowest mode and
+    the candidates become globally parallel — the subsequent block
+    Gram-Schmidt then divides by ~0 (the reference's f_ortho would
+    exit(1) on the same degeneracy, near_null.h:149-159).
+
+    joint_qr=True orthonormalizes the candidate SET (global modified
+    Gram-Schmidt) at every renormalization point — block power iteration
+    toward the lowest k modes instead of k copies of mode 1. Robust at
+    any level size; a beyond-reference option (MGConfig.null_joint_qr).
     """
     zero_r = jnp.zeros_like(starts[0])
     blocks = max(null_iters // iters_per_norm, 1)
 
-    def one(v):
-        def body(_, v):
-            v = smooth(D, D0inv, v, zero_r, iters_per_norm, smoother, omega)
-            v, _ = normalize(v)
-            return v
-        return jax.lax.fori_loop(0, blocks, body, v)
+    if not joint_qr:
+        def one(v):
+            def body(_, v):
+                v = smooth(D, D0inv, v, zero_r, iters_per_norm, smoother,
+                           omega)
+                v, _ = normalize(v)
+                return v
+            return jax.lax.fori_loop(0, blocks, body, v)
 
-    return jax.vmap(one)(starts)
+        return jax.vmap(one)(starts)
+
+    k = starts.shape[0]
+
+    def mgs(vs):
+        """Global modified Gram-Schmidt over the candidate axis."""
+        out = []
+        for i in range(k):
+            v = vs[i]
+            for u in out:
+                v = v - u * jnp.vdot(u, v)
+            n = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2))
+            out.append(v / jnp.where(n > 0, n, 1.0))
+        return jnp.stack(out)
+
+    def body(_, vs):
+        vs = jax.vmap(lambda v: smooth(D, D0inv, v, zero_r, iters_per_norm,
+                                       smoother, omega))(vs)
+        return mgs(vs)
+
+    return jax.lax.fori_loop(0, blocks, body, mgs(starts))
 
 
 def candidates_to_phi_null(vecs: jnp.ndarray, stencil: str, nc: int):

@@ -482,115 +482,389 @@ def smooth_pallas_tiled(D, D0inv, phi, r, n_sweeps: int = 1,
     return (pr + 1j * pi).astype(phi.dtype)
 
 
-# --- spin-projected (links-only) wilson kernel ------------------------------
+# --- spin-projected (links-only) wilson kernels -----------------------------
+#
+# Level-0 fast path: the Wilson hop matrices are rank-1 spinor projectors
+# ⊗ a U(1) phase (reference level.h:155-172; ops/gauge_stencil.py has the
+# math and the XLA twin), so the operator streams 4 complex link planes
+# instead of the 20 dense-D planes. Operand layout (round 5, after the
+# round-4 tuning finding that 14 small operands bound the pipeline):
+#   ul [6, L, L] f32 — [uxr, uxi, uyr, uyi, uymr, uymi] where uym is the
+#       y-1-shifted uy plane, PRE-shifted outside the kernel: the -y hop
+#       needs U_y(x, y-1), and shifting links outside removes 2 of the 6
+#       in-kernel lane rolls (the VPU cost that capped round 4 at 0.33
+#       of roofline, PERF.md §8b).
+#   vp [4, L, L] f32 — [v0r, v1r, v0i, v1i] spinor planes.
+# Remaining in-kernel lane rolls: 4 (the ±y shifts of the two combined
+# half-spinor fields — irreducible without extra HBM traffic).
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _wilson_u_kernel(TX, m, uxr_ref, uxi_ref, uyr_ref, uyi_ref,
-                     dnxr_ref, dnxi_ref, vr_ref, vi_ref,
-                     upr_ref, upi_ref, dnr_ref, dni_ref, or_ref, oi_ref):
-    """One x-tile of the spin-projected Wilson SpMV
-    (ops.gauge_stencil.apply_wilson_u math; 4 link planes instead of the
-    dense 20 D planes — ~4x less HBM traffic for identical math).
+def u_link_planes(U: jnp.ndarray) -> jnp.ndarray:
+    """U [2,L,L] complex -> ul [6,L,L] f32 (see layout note above).
+    Traced (XLA) — called once per smooth/apply wrapper, outside the
+    sweep loop, so the shift+split pass amortizes over sweeps."""
+    ux, uy = U[0], U[1]
+    uym = jnp.roll(uy, 1, axis=-1)
+    return jnp.stack([jnp.real(ux), jnp.imag(ux), jnp.real(uy),
+                      jnp.imag(uy), jnp.real(uym), jnp.imag(uym)]
+                     ).astype(jnp.float32)
 
-    Refs: ux/uy tiles [TX, L]; dnx*_ref [8, L] is the 8-row block holding
-    the wrapped x-1 link row (row 7); v*_ref [2, TX, L] with up/dn halo
-    blocks [2, 8, L] as in _tiled_apply_kernel.
+
+def _v_planes(v: jnp.ndarray) -> jnp.ndarray:
+    """v [2,L,L] complex -> vp [4,L,L] f32 = [v0r, v1r, v0i, v1i]."""
+    return jnp.concatenate([jnp.real(v), jnp.imag(v)], axis=0
+                           ).astype(jnp.float32)
+
+
+def _v_unplanes(p: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (p[:2] + 1j * p[2:]).astype(dtype)
+
+
+def _u_hop_core(ul6, cmb, yshift):
+    """Spin-projected hop from 6 link planes + shifted combined fields.
+
+    ul6: (uxr, uxi, uyr, uyi, uymr, uymi) planes.
+    cmb: dict with the x-shifted combined fields and uxm planes
+         (built by the caller: whole-lattice rolls or tile splices).
+    yshift(p, up): lane shift — up=True gives value at y+1.
+    Returns (h0r, h1r, h0i, h1i) matching the vp plane order.
     """
-    L = vr_ref.shape[-1]
-    v0r, v0i = vr_ref[0], vi_ref[0]
-    v1r, v1i = vr_ref[1], vi_ref[1]
-    uxr, uxi = uxr_ref[:], uxi_ref[:]
-    uyr, uyi = uyr_ref[:], uyi_ref[:]
-
-    def splice_xp(p_tile, p_up):
-        return jnp.concatenate([p_tile[1:, :], p_up[0:1, :]], axis=0)
-
-    def splice_xm(p_tile, p_dn):
-        return jnp.concatenate([p_dn[7:8, :], p_tile[:-1, :]], axis=0)
-
-    # +x: h_a = ux(x) * (v0 - v1)(x+1)
-    ar = splice_xp(v0r - v1r, upr_ref[0] - upr_ref[1])
-    ai = splice_xp(v0i - v1i, upi_ref[0] - upi_ref[1])
-    har, hai = _cmul(uxr, uxi, ar, ai)
+    uxr, uxi, uyr, uyi, uymr, uymi = ul6
+    # +x: h_a = ux * (v0 - v1)(x+1)
+    har, hai = _cmul(uxr, uxi, cmb["ar"], cmb["ai"])
     # -x: h_b = conj(ux(x-1)) * (v0 + v1)(x-1)
-    br = splice_xm(v0r + v1r, dnr_ref[0] + dnr_ref[1])
-    bi = splice_xm(v0i + v1i, dni_ref[0] + dni_ref[1])
-    uxmr = splice_xm(uxr, dnxr_ref[:])
-    uxmi = splice_xm(uxi, dnxi_ref[:])
-    hbr, hbi = _cmul(uxmr, -uxmi, br, bi)
-    # +y: h_c = uy(x) * (v0 + i v1)(y+1)
-    cr = pltpu.roll(v0r - v1i, L - 1, 1)
-    ci = pltpu.roll(v0i + v1r, L - 1, 1)
-    hcr, hci = _cmul(uyr, uyi, cr, ci)
-    # -y: h_d = conj(uy(y-1)) * (v0 - i v1)(y-1)
-    dr = pltpu.roll(v0r + v1i, 1, 1)
-    di = pltpu.roll(v0i - v1r, 1, 1)
-    uymr = pltpu.roll(uyr, 1, 1)
-    uymi = pltpu.roll(uyi, 1, 1)
-    hdr, hdi = _cmul(uymr, -uymi, dr, di)
+    hbr, hbi = _cmul(cmb["uxmr"], -cmb["uxmi"], cmb["br"], cmb["bi"])
+    # +y: h_c = uy * (v0 + i v1)(y+1)
+    hcr, hci = _cmul(uyr, uyi, yshift(cmb["cr"], True),
+                     yshift(cmb["ci"], True))
+    # -y: h_d = conj(uy(y-1)) * (v0 - i v1)(y-1); uym pre-shifted
+    hdr, hdi = _cmul(uymr, -uymi, yshift(cmb["dr"], False),
+                     yshift(cmb["di"], False))
+    h0r = 0.5 * (har + hbr + hcr + hdr)
+    h0i = 0.5 * (hai + hbi + hci + hdi)
+    # h1 = 0.5*(-ha + hb - i*hc + i*hd);  -i*h = (hi, -hr), +i*h = (-hi, hr)
+    h1r = 0.5 * (-har + hbr + hci - hdi)
+    h1i = 0.5 * (-hai + hbi - hcr + hdr)
+    return h0r, h1r, h0i, h1i
 
+
+def _u_hop_vmem(ul_ref, vp):
+    """Whole-lattice hop: x shifts are sublane rolls, y shifts lane rolls."""
+    L = vp[0].shape[-1]
+    ul6 = tuple(ul_ref[k] for k in range(6))
+    v0r, v1r, v0i, v1i = vp
+
+    def xp(p):
+        return pltpu.roll(p, L - 1, 0)
+
+    def xm(p):
+        return pltpu.roll(p, 1, 0)
+
+    cmb = dict(
+        ar=xp(v0r - v1r), ai=xp(v0i - v1i),
+        br=xm(v0r + v1r), bi=xm(v0i + v1i),
+        uxmr=xm(ul6[0]), uxmi=xm(ul6[1]),
+        cr=v0r - v1i, ci=v0i + v1r,
+        dr=v0r + v1i, di=v0i - v1r,
+    )
+
+    def yshift(p, up):
+        return pltpu.roll(p, L - 1 if up else 1, 1)
+
+    return _u_hop_core(ul6, cmb, yshift)
+
+
+def _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref):
+    """One x-tile hop: x shifts splice 8-row-aligned wrapped halo blocks
+    (see _tiled_apply_kernel for the alignment rationale), y shifts are
+    in-tile lane rolls (periodic: the tile spans the full y extent)."""
+    L = vp[0].shape[-1]
+    ul6 = tuple(ul_ref[k] for k in range(6))
+    v0r, v1r, v0i, v1i = vp
+
+    def sxp(t, h):      # value at x+1: halo row 0 of the up block
+        return jnp.concatenate([t[1:, :], h], axis=0)
+
+    def sxm(t, h):      # value at x-1: halo row 7 of the down block
+        return jnp.concatenate([h, t[:-1, :]], axis=0)
+
+    up = up_ref[:]      # [4, 8, L]
+    dn = dn_ref[:]
+    cmb = dict(
+        ar=sxp(v0r - v1r, up[0, 0:1] - up[1, 0:1]),
+        ai=sxp(v0i - v1i, up[2, 0:1] - up[3, 0:1]),
+        br=sxm(v0r + v1r, dn[0, 7:8] + dn[1, 7:8]),
+        bi=sxm(v0i + v1i, dn[2, 7:8] + dn[3, 7:8]),
+        uxmr=sxm(ul6[0], uld_ref[0, 7:8]),
+        uxmi=sxm(ul6[1], uld_ref[1, 7:8]),
+        cr=v0r - v1i, ci=v0i + v1r,
+        dr=v0r + v1i, di=v0i - v1r,
+    )
+
+    def yshift(p, up_):
+        return pltpu.roll(p, L - 1 if up_ else 1, 1)
+
+    return _u_hop_core(ul6, cmb, yshift)
+
+
+def _u_out(mode, m, vp, h, rp=None, mask=None):
+    """Combine hop planes into the mode's output planes.
+    apply:    s v + h
+    residual: r - s v - h
+    jacobi:   (r - h)/s          (phi' = -D0^{-1}(hop - r), D0 = s I)
+    rb:       where(mask, (r - h)/s, v)
+    """
     s = 2.0 + m
-    out0r = s * v0r + 0.5 * (har + hbr + hcr + hdr)
-    out0i = s * v0i + 0.5 * (hai + hbi + hci + hdi)
-    # out1 = s*v1 + 0.5*(-ha + hb - i*hc + i*hd);  -i*h = (hi, -hr)
-    out1r = s * v1r + 0.5 * (-har + hbr + hci - hdi)
-    out1i = s * v1i + 0.5 * (-hai + hbi - hcr + hdr)
-    or_ref[:] = jnp.stack([out0r, out1r])
-    oi_ref[:] = jnp.stack([out0i, out1i])
+    if mode == "apply":
+        return [s * vp[k] + h[k] for k in range(4)]
+    if mode == "residual":
+        return [rp[k] - s * vp[k] - h[k] for k in range(4)]
+    upd = [(rp[k] - h[k]) * (1.0 / s) for k in range(4)]
+    if mode == "jacobi":
+        return upd
+    return [jnp.where(mask, upd[k], vp[k]) for k in range(4)]
+
+
+# -- whole-VMEM kernels --
+
+def _u_apply_vmem_kernel(m, ul_ref, vp_ref, o_ref):
+    vp = tuple(vp_ref[k] for k in range(4))
+    h = _u_hop_vmem(ul_ref, vp)
+    o_ref[:] = jnp.stack(_u_out("apply", m, vp, h))
+
+
+def _u_resid_vmem_kernel(m, ul_ref, vp_ref, rp_ref, o_ref):
+    vp = tuple(vp_ref[k] for k in range(4))
+    h = _u_hop_vmem(ul_ref, vp)
+    rp = tuple(rp_ref[k] for k in range(4))
+    o_ref[:] = jnp.stack(_u_out("residual", m, vp, h, rp))
+
+
+def _u_smooth_vmem_kernel(m, n_sweeps, kind, ul_ref, rp_ref, vp_ref, o_ref):
+    """n_sweeps links-only smoother sweeps, all VMEM-resident: per smooth,
+    every operand crosses HBM once (links 6 + r 4 + phi 4 + out 4 planes
+    = 18 f32 planes ~ 4.5 complex words/site vs the dense smoother's
+    ~26)."""
+    vp = tuple(vp_ref[k] for k in range(4))
+    rp = tuple(rp_ref[k] for k in range(4))
+    L = vp[0].shape[-1]
+    if kind == "rbgs":
+        x = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        y = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        red = ((x + y) % 2 == 0)
+    for _ in range(n_sweeps):
+        if kind == "jacobi":
+            h = _u_hop_vmem(ul_ref, vp)
+            vp = tuple(_u_out("jacobi", m, vp, h, rp))
+        else:
+            h = _u_hop_vmem(ul_ref, vp)
+            vp = tuple(_u_out("rb", m, vp, h, rp, red))
+            h = _u_hop_vmem(ul_ref, vp)
+            vp = tuple(_u_out("rb", m, vp, h, rp, jnp.logical_not(red)))
+    o_ref[:] = jnp.stack(vp)
+
+
+# -- x-tiled kernels --
+
+def _u_apply_tile_kernel(m, ul_ref, uld_ref, vp_ref, up_ref, dn_ref, o_ref):
+    vp = tuple(vp_ref[k] for k in range(4))
+    h = _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref)
+    o_ref[:] = jnp.stack(_u_out("apply", m, vp, h))
+
+
+def _u_resid_tile_kernel(m, ul_ref, uld_ref, vp_ref, up_ref, dn_ref,
+                         rp_ref, o_ref):
+    vp = tuple(vp_ref[k] for k in range(4))
+    h = _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref)
+    rp = tuple(rp_ref[k] for k in range(4))
+    o_ref[:] = jnp.stack(_u_out("residual", m, vp, h, rp))
+
+
+def _u_update_tile_kernel(m, TX, color, ul_ref, uld_ref, rp_ref, vp_ref,
+                          up_ref, dn_ref, o_ref):
+    """One x-tile of the links-only smoother update. color None -> Jacobi,
+    0/1 -> the red/black half-sweep (global parity from program_id)."""
+    vp = tuple(vp_ref[k] for k in range(4))
+    rp = tuple(rp_ref[k] for k in range(4))
+    h = _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref)
+    if color is None:
+        o_ref[:] = jnp.stack(_u_out("jacobi", m, vp, h, rp))
+        return
+    L = vp[0].shape[-1]
+    x0 = pl.program_id(0) * TX
+    x = x0 + jax.lax.broadcasted_iota(jnp.int32, (TX, L), 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, (TX, L), 1)
+    mask = ((x + y) % 2 == color)
+    o_ref[:] = jnp.stack(_u_out("rb", m, vp, h, rp, mask))
+
+
+# -- wrappers & dispatch --
+
+U_VMEM_PLANES = 18      # ul 6 + vp 4 + rp 4 + out 4
+
+
+def u_fits_vmem(L: int) -> bool:
+    return 4 * U_VMEM_PLANES * L * L <= int(0.75 * VMEM_BYTES)
 
 
 def _pick_tile_u(L: int) -> int:
-    """Row tile for the links-only kernel: ~14 f32 planes of [TX, L]."""
+    """Row tile for the links-only tiled kernels (~18 f32 [TX, L] planes
+    + 14 8-row halo planes per grid step)."""
     for tx in _tile_candidates(L, 256):
-        if 4 * 14 * tx * L <= int(0.5 * VMEM_BYTES):
+        if 4 * L * (18 * tx + 14 * 8) <= int(0.5 * VMEM_BYTES):
             return tx
     return 0
 
 
-def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
-                          TX: int | None = None) -> jnp.ndarray:
-    """x-tiled spin-projected Wilson SpMV; U [2,L,L] c64, v [2,L,L] c64.
+def _u_tile_specs(TX: int, L: int):
+    ulspec = pl.BlockSpec((6, TX, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    uldspec = pl.BlockSpec((6, 8, L),
+                           lambda i: (0, ((i * TX - 8) % L) // 8, 0),
+                           memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((4, TX, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    hup = pl.BlockSpec((4, 8, L), lambda i: (0, ((i * TX + TX) % L) // 8, 0),
+                       memory_space=pltpu.VMEM)
+    hdn = pl.BlockSpec((4, 8, L), lambda i: (0, ((i * TX - 8) % L) // 8, 0),
+                       memory_space=pltpu.VMEM)
+    return ulspec, uldspec, vspec, hup, hdn
 
-    Identical math to ops.gauge_stencil.apply_wilson_u (and therefore to
-    apply_D on the assembled dense stencil); streams the 4 link planes
-    instead of the 20 dense-D planes.
-    """
-    L = v.shape[-1]
+
+def _u_check_tile(L: int, TX: int | None) -> int:
     TX = TX or _pick_tile_u(L)
     if not TX or TX % 8 or L % TX:
         raise ValueError(f"no valid x-tile for L={L}; use the XLA path")
+    return TX
+
+
+def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
+                          TX: int | None = None, ul=None,
+                          r: jnp.ndarray | None = None) -> jnp.ndarray:
+    """x-tiled spin-projected Wilson SpMV; U [2,L,L] c64, v [2,L,L] c64.
+
+    Identical math to ops.gauge_stencil.apply_wilson_u (and therefore to
+    apply_D on the assembled dense stencil); streams 6 link planes
+    instead of the 40 dense-D planes. With r, returns r - D v (fused
+    residual, no extra pass). ul: precomputed u_link_planes(U).
+    """
+    L = v.shape[-1]
+    TX = _u_check_tile(L, TX)
     grid = (L // TX,)
-    uxr, uxi = _split(U[0])
-    uyr, uyi = _split(U[1])
-    vr, vi = _split(v)
+    ul = u_link_planes(U) if ul is None else ul
+    vp = _v_planes(v)
+    ulspec, uldspec, vspec, hup, hdn = _u_tile_specs(TX, L)
+    if r is None:
+        out = pl.pallas_call(
+            functools.partial(_u_apply_tile_kernel, m),
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            in_specs=[ulspec, uldspec, vspec, hup, hdn],
+            out_specs=vspec,
+        )(ul, ul, vp, vp, vp)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_u_resid_tile_kernel, m),
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            in_specs=[ulspec, uldspec, vspec, hup, hdn, vspec],
+            out_specs=vspec,
+        )(ul, ul, vp, vp, vp, _v_planes(r))
+    return _v_unplanes(out, v.dtype)
 
-    def up_map(i):
-        return (0, ((i * TX + TX) % L) // 8, 0)
 
-    def dn_map(i):
-        return (0, ((i * TX - 8) % L) // 8, 0)
+def apply_wilson_u_pallas_vmem(U: jnp.ndarray, m: float, v: jnp.ndarray,
+                               ul=None, r: jnp.ndarray | None = None
+                               ) -> jnp.ndarray:
+    """Whole-lattice-in-VMEM links-only SpMV (optionally fused residual)."""
+    ul = u_link_planes(U) if ul is None else ul
+    vp = _v_planes(v)
+    if r is None:
+        out = pl.pallas_call(
+            functools.partial(_u_apply_vmem_kernel, m),
+            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            in_specs=_vmem_specs(2),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(ul, vp)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_u_resid_vmem_kernel, m),
+            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            in_specs=_vmem_specs(3),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(ul, vp, _v_planes(r))
+    return _v_unplanes(out, v.dtype)
 
-    uspec = pl.BlockSpec((TX, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    udn = pl.BlockSpec((8, L), lambda i: (((i * TX - 8) % L) // 8, 0),
-                       memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((2, TX, L), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
-    hup = pl.BlockSpec((2, 8, L), up_map, memory_space=pltpu.VMEM)
-    hdn = pl.BlockSpec((2, 8, L), dn_map, memory_space=pltpu.VMEM)
-    kern = functools.partial(_wilson_u_kernel, TX, m)
-    out_r, out_i = pl.pallas_call(
+
+def wilson_u_residual_pallas(U, m, phi, r, mode: str, TX: int | None = None):
+    """r - D phi via the links-only kernels; mode 'vmem' or 'tiled'."""
+    if mode == "vmem":
+        return apply_wilson_u_pallas_vmem(U, m, phi, r=r)
+    return apply_wilson_u_pallas(U, m, phi, TX=TX, r=r)
+
+
+def wilson_u_smooth_pallas(U, m, phi, r, n_sweeps: int = 1,
+                           kind: str = "jacobi"):
+    """n_sweeps fused links-only smoother sweeps in ONE whole-VMEM kernel
+    (matches gauge_stencil.smooth_u with omega=1, hence the dense
+    smoothers — pinned by tests/test_gauge_stencil.py)."""
+    ul = u_link_planes(U)
+    vp = _v_planes(phi)
+    rp = _v_planes(r)
+    kern = functools.partial(_u_smooth_vmem_kernel, m, n_sweeps, kind)
+    out = pl.pallas_call(
         kern,
-        grid=grid,
-        out_shape=(jax.ShapeDtypeStruct(v.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(v.shape, jnp.float32)),
-        in_specs=[uspec, uspec, uspec, uspec, udn, udn,
-                  vspec, vspec, hup, hup, hdn, hdn],
-        out_specs=(vspec, vspec),
-    )(uxr, uxi, uyr, uyi, uxr, uxi, vr, vi, vr, vi, vr, vi)
-    return (out_r + 1j * out_i).astype(v.dtype)
+        out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+        in_specs=_vmem_specs(3),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(ul, rp, vp)
+    return _v_unplanes(out, phi.dtype)
+
+
+def wilson_u_smooth_pallas_tiled(U, m, phi, r, n_sweeps: int = 1,
+                                 kind: str = "jacobi",
+                                 TX: int | None = None):
+    """n_sweeps x-tiled links-only smoother sweeps (one pallas_call per
+    colored pass so cross-tile halos always read the updated field)."""
+    L = phi.shape[-1]
+    TX = _u_check_tile(L, TX)
+    grid = (L // TX,)
+    ul = u_link_planes(U)
+    rp = _v_planes(r)
+    vp = _v_planes(phi)
+    ulspec, uldspec, vspec, hup, hdn = _u_tile_specs(TX, L)
+
+    def call(vp, color):
+        kern = functools.partial(_u_update_tile_kernel, m, TX, color)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            in_specs=[ulspec, uldspec, vspec, vspec, hup, hdn],
+            out_specs=vspec,
+        )(ul, ul, rp, vp, vp, vp)
+
+    def body(_, vp):
+        if kind == "jacobi":
+            return call(vp, None)
+        return call(call(vp, 0), 1)
+
+    vp = jax.lax.fori_loop(0, n_sweeps, body, vp)
+    return _v_unplanes(vp, phi.dtype)
+
+
+def u_mode(dtype, L: int):
+    """Links-only kernel dispatch: 'vmem', 'tiled', or None (XLA path)."""
+    if dtype != jnp.complex64 or not _on_tpu():
+        return None
+    if u_fits_vmem(L):
+        return "vmem"
+    if _pick_tile_u(L):
+        return "tiled"
+    return None
 
 
 def _on_tpu() -> bool:

@@ -113,6 +113,30 @@ def residual_norm_ratio(D, phi, r) -> jnp.ndarray:
     return (num / den).astype(r.real.dtype)
 
 
+def adjoint_stencil(D: jnp.ndarray) -> jnp.ndarray:
+    """Stencil of the adjoint operator: apply_D(adjoint_stencil(D), v)
+    == (D^H v) for any v.
+
+    (D^H v)(x) = sum_y D(y, x)^H v(y): the same-site block conjugate-
+    transposes in place; the +mu plane of D^H at site x is the
+    -mu block stored at x+mu, i.e. shift(D[-mu], +mu)^H (and vice
+    versa). For the reference's operators this reproduces hermiticity
+    (laplace: D^H = D) and gamma5-hermiticity (wilson: D^H = g5 D g5),
+    pinned by tests/test_krylov.py; it is valid for ANY 5-point block
+    stencil, including Galerkin coarse operators.
+    """
+    def ct(M):
+        return jnp.conj(jnp.swapaxes(M, 0, 1))
+
+    return jnp.stack([
+        ct(D[SAME]),
+        ct(shift(D[XM], XP)),
+        ct(shift(D[XP], XM)),
+        ct(shift(D[YM], YP)),
+        ct(shift(D[YP], YM)),
+    ])
+
+
 def site_inverse(M: jnp.ndarray) -> jnp.ndarray:
     """Per-site inverse of the diagonal block D0: [n,n,L,L] -> [n,n,L,L].
 

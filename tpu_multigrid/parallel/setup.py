@@ -108,13 +108,39 @@ def _relax_null_sharded(D, D0inv, starts, cfg: MGConfig):
     def one(v):
         def body(_, v):
             v = smooth_sharded(D, D0inv, v, zero, cfg.iters_per_norm,
-                               kind, cfg.omega)
+                               kind, cfg.omega, overlap=cfg.halo_overlap)
             n = jnp.sqrt(lax.psum(jnp.sum(jnp.abs(v) ** 2),
                                   (AXIS_X, AXIS_Y)))
             return v / n
         return lax.fori_loop(0, blocks, body, v)
 
-    return jnp.stack([one(starts[k]) for k in range(starts.shape[0])])
+    if not cfg.null_joint_qr:
+        return jnp.stack([one(starts[k]) for k in range(starts.shape[0])])
+
+    # joint variant (MGConfig.null_joint_qr): psum-reduced global MGS of
+    # the candidate set at every renorm point (see ops/nearnull)
+    nk = starts.shape[0]
+
+    def mgs(vs):
+        out = []
+        for i in range(nk):
+            v = vs[i]
+            for u in out:
+                d = lax.psum(jnp.sum(jnp.conj(u) * v), (AXIS_X, AXIS_Y))
+                v = v - u * d
+            n = jnp.sqrt(lax.psum(jnp.sum(jnp.abs(v) ** 2),
+                                  (AXIS_X, AXIS_Y)))
+            out.append(v / jnp.where(n > 0, n, 1.0))
+        return jnp.stack(out)
+
+    def body(_, vs):
+        vs = jnp.stack([
+            smooth_sharded(D, D0inv, vs[i], zero, cfg.iters_per_norm,
+                           kind, cfg.omega, overlap=cfg.halo_overlap)
+            for i in range(nk)])
+        return mgs(vs)
+
+    return lax.fori_loop(0, blocks, body, mgs(starts))
 
 
 def build_hierarchy_sharded(D0: jnp.ndarray, cfg: MGConfig, mesh: Mesh,

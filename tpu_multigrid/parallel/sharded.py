@@ -85,7 +85,8 @@ def hierarchy_specs(hier: Hierarchy, cfg: MGConfig, mesh: Mesh) -> Hierarchy:
         lvl = cfg.nlevels - 1
         ntl = NTLOps(phi_null=_lat_spec(3, sh[lvl]),
                      D=P(), D0inv=P())   # NTL coarse data replicated
-    return Hierarchy(levels=tuple(levels), ntl=ntl)
+    gauge = None if hier.gauge is None else _lat_spec(1, sh[0])
+    return Hierarchy(levels=tuple(levels), ntl=ntl, gauge=gauge)
 
 
 def field_specs(cfg: MGConfig, mesh: Mesh) -> Tuple[P, ...]:
@@ -176,7 +177,8 @@ def _relax(lev, phi, r, cfg, sharded: bool, lvl: int):
     ci = _cheby_interval(cfg, lvl)
     if sharded:
         return smooth_sharded(lev.D, lev.D0inv, phi, r, cfg.num_iters,
-                              kind, cfg.omega, cheby_interval=ci)
+                              kind, cfg.omega, cheby_interval=ci,
+                              overlap=cfg.halo_overlap)
     return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, kind, cfg.omega,
                   cheby_interval=ci)
 
@@ -185,7 +187,7 @@ def _min_res_weights_sharded(D_f, r_f, xs_list, cfg):
     """Gram matrix + source with psum-reduced inner products; xs are local
     tiles at a sharded level. Mirrors cycles.min_res_weights."""
     nq = len(xs_list)
-    Dx = [apply_D_sharded(D_f, x) for x in xs_list]
+    Dx = [apply_D_sharded(D_f, x, cfg.halo_overlap) for x in xs_list]
     A = jnp.stack([jnp.stack([jnp.sum(jnp.conj(xs_list[p]) * Dx[q])
                               for q in range(nq)]) for p in range(nq)])
     mode = cfg.minres_src
@@ -242,7 +244,7 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
     bx, by = cfg.block_x, cfg.block_y
 
     def residual_of(lev, phi, r, l):
-        return (residual_sharded(lev.D, phi, r) if sh[l]
+        return (residual_sharded(lev.D, phi, r, cfg.halo_overlap) if sh[l]
                 else residual(lev.D, phi, r))
 
     def restrict_step(pn, res, quad, l):
@@ -332,7 +334,8 @@ def make_sharded_cycle(cfg: MGConfig, mesh: Mesh,
                 phis[l] = jnp.zeros_like(phis[l])
 
         if sh[0]:
-            resmag = residual_norm_ratio_sharded(L[0].D, phis[0], b)
+            resmag = residual_norm_ratio_sharded(L[0].D, phis[0], b,
+                                                 cfg.halo_overlap)
         else:
             from ..ops.stencil import residual_norm_ratio
             resmag = residual_norm_ratio(L[0].D, phis[0], b)

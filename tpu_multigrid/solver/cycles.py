@@ -18,16 +18,43 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MGConfig
-from ..ops.stencil import apply_D, residual
+from ..ops.stencil import apply_D, residual, _sumsq
 from ..ops.smoothers import smooth
 from ..ops.transfer import restrict, prolong
 from .hierarchy import Hierarchy
 
 
-def _relax(lev, phi, r, cfg: MGConfig, lvl: int = 0):
+def links_active(cfg: MGConfig, gauge, lvl: int) -> bool:
+    """Whether the level-0 links-only (spin-projected) fast path applies:
+    gauge links present, wilson stencil, and cfg.links allows (see
+    MGConfig.links — 'auto' restricts to complex64 so c128 validation
+    trajectories stay bit-stable)."""
+    if gauge is None or lvl != 0 or cfg.stencil != "wilson":
+        return False
+    if cfg.links == "off":
+        return False
+    if cfg.links == "on":
+        return True
+    return cfg.dtype == "complex64"
+
+
+def _relax(lev, phi, r, cfg: MGConfig, lvl: int = 0, gauge=None):
     if cfg.smoother == "chebyshev":
         return smooth(lev.D, lev.D0inv, phi, r, cfg.num_iters, "chebyshev",
                       cheby_interval=cfg.cheby_intervals[lvl])
+    if links_active(cfg, gauge, lvl) and cfg.smoother in ("jacobi", "rbgs"):
+        from ..ops import pallas_stencil as ps
+        from ..ops import gauge_stencil as gs
+        if cfg.pallas == "auto" and cfg.omega == 1.0:
+            mode = ps.u_mode(phi.dtype, phi.shape[-1])
+            if mode == "vmem":
+                return ps.wilson_u_smooth_pallas(gauge, cfg.m, phi, r,
+                                                 cfg.num_iters, cfg.smoother)
+            if mode == "tiled":
+                return ps.wilson_u_smooth_pallas_tiled(
+                    gauge, cfg.m, phi, r, cfg.num_iters, cfg.smoother)
+        return gs.smooth_u(cfg.stencil, gauge, cfg.m, phi, r,
+                           cfg.num_iters, cfg.smoother, cfg.omega)
     if (cfg.pallas == "auto" and cfg.omega == 1.0
             and cfg.smoother in ("jacobi", "rbgs")):
         from ..ops import pallas_stencil as ps
@@ -44,6 +71,29 @@ def _relax(lev, phi, r, cfg: MGConfig, lvl: int = 0):
                   cfg.omega)
 
 
+def _residual0(lev, phi, r, cfg: MGConfig, lvl: int = 0, gauge=None):
+    """Level residual with the links-only fast path at level 0."""
+    if links_active(cfg, gauge, lvl):
+        from ..ops import pallas_stencil as ps
+        from ..ops import gauge_stencil as gs
+        if cfg.pallas == "auto":
+            mode = ps.u_mode(phi.dtype, phi.shape[-1])
+            if mode:
+                return ps.wilson_u_residual_pallas(gauge, cfg.m, phi, r,
+                                                   mode)
+        return gs.residual_u(cfg.stencil, gauge, cfg.m, phi, r)
+    return residual(lev.D, phi, r)
+
+
+def residual_norm_ratio0(hier: Hierarchy, phi, b, cfg: MGConfig):
+    """||b - D phi|| / ||b|| at level 0, via the links-only apply when
+    active (reference f_get_residue_mag, level.h:79-98)."""
+    res = _residual0(hier.levels[0], phi, b, cfg, 0, hier.gauge)
+    num = jnp.sqrt(_sumsq(res))
+    den = jnp.sqrt(_sumsq(b))
+    return (num / den).astype(b.real.dtype)
+
+
 def v_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
     """One telescoping V-cycle (reference f_MG_simple).
 
@@ -52,23 +102,24 @@ def v_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
     Returns updated phis. nlevels=0 degenerates to pure relaxation.
     """
     L = hier.levels
+    g = hier.gauge
     n = cfg.nlevels
     phis = list(phis)
     rs = [b] + [None] * n
 
     if n == 0:
-        phis[0] = _relax(L[0], phis[0], b, cfg)
+        phis[0] = _relax(L[0], phis[0], b, cfg, 0, g)
         return tuple(phis)
 
     bx, by = cfg.block_x, cfg.block_y
     for l in range(n):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
-        res = residual(L[l].D, phis[l], rs[l])
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l, g)
+        res = _residual0(L[l], phis[l], rs[l], cfg, l, g)
         rs[l + 1] = restrict(L[l].phi_null, res, cfg.quad, bx, by)
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
 
     for l in range(n, -1, -1):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l, g)
         if l > 0:
             corr = prolong(L[l - 1].phi_null, phis[l], cfg.quad, bx, by)
             phis[l - 1] = phis[l - 1] + corr
@@ -84,16 +135,17 @@ def gamma_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray,
     problem approximately solved by two child cycles) — more robust on
     hard operators at ~1.5x fine-level cost in 2D."""
     L = hier.levels
+    g = hier.gauge
     n = cfg.nlevels
     bx, by = cfg.block_x, cfg.block_y
     phis = list(phis)
     gamma = cfg.cycle_gamma
 
     def at(l, rhs):
-        phis[l] = _relax(L[l], phis[l], rhs, cfg, l)
+        phis[l] = _relax(L[l], phis[l], rhs, cfg, l, g)
         if l == n:
             return
-        res = residual(L[l].D, phis[l], rhs)
+        res = _residual0(L[l], phis[l], rhs, cfg, l, g)
         rc = restrict(L[l].phi_null, res, cfg.quad, bx, by)
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
         for _ in range(gamma if l + 1 < n else 1):
@@ -101,10 +153,10 @@ def gamma_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray,
         corr = prolong(L[l].phi_null, phis[l + 1], cfg.quad, bx, by)
         phis[l] = phis[l] + corr
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
-        phis[l] = _relax(L[l], phis[l], rhs, cfg, l)
+        phis[l] = _relax(L[l], phis[l], rhs, cfg, l, g)
 
     if n == 0:
-        phis[0] = _relax(L[0], phis[0], b, cfg)
+        phis[0] = _relax(L[0], phis[0], b, cfg, 0, g)
     else:
         at(0, b)
     return tuple(phis)
@@ -146,6 +198,7 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
     Returns (phis, a_weights).
     """
     L = hier.levels
+    g = hier.gauge
     ntl = hier.ntl
     n = cfg.nlevels
     phis = list(phis)
@@ -155,15 +208,15 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
 
     # Down sweep.
     for l in range(n - 1):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
-        res = residual(L[l].D, phis[l], rs[l])
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l, g)
+        res = _residual0(L[l], phis[l], rs[l], cfg, l, g)
         rs[l + 1] = restrict(L[l].phi_null, res, cfg.quad, bx, by)
         phis[l + 1] = jnp.zeros_like(phis[l + 1])
 
     # Transition level: restrict 4 independent ways.
     l = n - 1
-    phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
-    res = residual(L[l].D, phis[l], rs[l])
+    phis[l] = _relax(L[l], phis[l], rs[l], cfg, l, g)
+    res = _residual0(L[l], phis[l], rs[l], cfg, l, g)
     r_q = jnp.stack([
         restrict(ntl.phi_null[q], res, q + 1, bx, by) for q in range(nq)])
 
@@ -204,7 +257,7 @@ def ntl_cycle(hier: Hierarchy, phis: Tuple, b: jnp.ndarray, cfg: MGConfig):
 
     # Up sweep from the next-to-coarsest level.
     for l in range(n - 1, -1, -1):
-        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l)
+        phis[l] = _relax(L[l], phis[l], rs[l], cfg, l, g)
         if l > 0:
             corr = prolong(L[l - 1].phi_null, phis[l], cfg.quad, bx, by)
             phis[l - 1] = phis[l - 1] + corr
@@ -232,7 +285,7 @@ def fmg_init(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     n = cfg.nlevels
     bx, by = cfg.block_x, cfg.block_y
     if n == 0:
-        phi = _relax(L[0], jnp.zeros_like(b), b, cfg)
+        phi = _relax(L[0], jnp.zeros_like(b), b, cfg, 0, hier.gauge)
         return (phi,)
 
     bs = [b]
@@ -246,7 +299,8 @@ def fmg_init(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
                  cfg.smoother, cfg.omega, cheby_interval=cheby_n)
     for l in range(n - 1, -1, -1):
         phi = prolong(L[l].phi_null, phi, cfg.quad, bx, by)
-        sub_h = Hierarchy(levels=L[l:], ntl=None)
+        sub_h = Hierarchy(levels=L[l:], ntl=None,
+                          gauge=hier.gauge if l == 0 else None)
         sub_c = _dc.replace(
             cfg, nlevels=n - l, ntl=False,
             cheby_lmax=(cfg.cheby_lmax[l:] if cfg.cheby_lmax else None))

@@ -43,8 +43,9 @@ class SolveResult:
 
 
 def _cycle_and_res(hier, phis, b, cfg):
+    from .cycles import residual_norm_ratio0
     phis, a = cycle(hier, phis, b, cfg)
-    resmag = residual_norm_ratio(hier.levels[0].D, phis[0], b)
+    resmag = residual_norm_ratio0(hier, phis[0], b, cfg)
     return phis, a, resmag
 
 
@@ -92,11 +93,13 @@ def solve_chunked(hier: Hierarchy, b: jnp.ndarray, cfg: MGConfig,
     phis = phis0 if phis0 is not None else zero_fields(cfg)
 
     def run_chunk(hier, phis, b):
+        from .cycles import residual_norm_ratio0
+
         def body(i, phis):
             phis, _, _ = _cycle_and_res(hier, phis, b, cfg)
             return phis
         phis = jax.lax.fori_loop(0, chunk, body, phis)
-        return phis, residual_norm_ratio(hier.levels[0].D, phis[0], b)
+        return phis, residual_norm_ratio0(hier, phis[0], b, cfg)
 
     it = 0
     resmag = float("inf")
@@ -367,6 +370,7 @@ def solve_batched(hier: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
     from ..utils.compile import aot_call
 
     def one(h, b):
+        from .cycles import residual_norm_ratio0
         phis = zero_fields(cfg)
 
         def body(_, phis):
@@ -374,7 +378,7 @@ def solve_batched(hier: Hierarchy, bs: jnp.ndarray, cfg: MGConfig,
             return phis
 
         phis = jax.lax.fori_loop(0, n_cycles, body, phis)
-        return phis[0], residual_norm_ratio(h.levels[0].D, phis[0], b)
+        return phis[0], residual_norm_ratio0(h, phis[0], b, cfg)
 
     phi, res = aot_call(lambda h, bb: jax.vmap(lambda b: one(h, b))(bb),
                         hier, bs, key=("batched", cfg, n_cycles,

@@ -50,11 +50,17 @@ class NTLOps:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["levels", "ntl"], meta_fields=[])
+         data_fields=["levels", "ntl", "gauge"], meta_fields=[])
 @dataclasses.dataclass
 class Hierarchy:
     levels: Tuple[LevelOps, ...]        # nlevels + 1 entries
     ntl: Optional[NTLOps]
+    # Optional U(1) links [2, L, L] for the level-0 links-only fast path
+    # (the reference's closed-form level-0 operator, level.h:131-175):
+    # when present and cfg.links allows, wilson level-0 smoother/residual
+    # stream the links instead of the assembled dense D
+    # (ops/gauge_stencil.py + the pallas_stencil links kernels).
+    gauge: Optional[jnp.ndarray] = None
 
 
 def _check_block_norms_host(phi_null, quad, bx, by, where: str):
@@ -89,7 +95,8 @@ def _setup_level_core(D, start_or_null, cfg: MGConfig, lvl: int, quad: int,
         # chebyshev solve-smoother has no interval yet at setup -> rbgs
         kind = "rbgs" if cfg.smoother == "chebyshev" else cfg.smoother
         vecs = relax_null_vectors(D, D0inv, start_or_null, cfg.null_iters,
-                                  cfg.iters_per_norm, kind, cfg.omega)
+                                  cfg.iters_per_norm, kind, cfg.omega,
+                                  cfg.null_joint_qr)
         phi_null = candidates_to_phi_null(vecs, cfg.stencil, nc)
     else:
         phi_null = start_or_null
@@ -148,11 +155,13 @@ def _setup_level(D, cfg: MGConfig, lvl: int, quad: int, key,
 
 def build_hierarchy(D0: jnp.ndarray, cfg: MGConfig, key=None,
                     phi_null_init: Optional[Tuple] = None,
-                    check: bool = True) -> Hierarchy:
+                    check: bool = True, U=None) -> Hierarchy:
     """Construct the full MG hierarchy from the level-0 operator.
 
     phi_null_init: optional per-level tuple of near-null stacks (e.g. read
     from a reference checkpoint file) — skips generation like gen_null=0.
+    U: optional gauge links [2, L, L] — stored on the hierarchy so the
+    solve can use the level-0 links-only fast path (cfg.links).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -170,7 +179,14 @@ def build_hierarchy(D0: jnp.ndarray, cfg: MGConfig, key=None,
     ntl = None
     if cfg.ntl:
         ntl = build_ntl(levels, cfg, check)
-    return Hierarchy(levels=tuple(levels), ntl=ntl)
+    if U is not None:
+        if isinstance(U, np.ndarray):
+            # relay-safe ingress: never transfer host complex directly
+            from ..utils.xfer import device_complex
+            U = device_complex(U, cfg.cdtype)
+        else:
+            U = U.astype(cfg.cdtype)
+    return Hierarchy(levels=tuple(levels), ntl=ntl, gauge=U)
 
 
 def _build_ntl_core(phi_null0, D, cfg: MGConfig):

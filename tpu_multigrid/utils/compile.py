@@ -66,6 +66,29 @@ def enable_persistent_cache(path: str | None = None,
         _persistent_enabled = True
     return path
 
+
+def disable_persistent_cache() -> None:
+    """Turn the on-disk cache back off and drop jax's initialized cache
+    object. Needed by tests that force-enable the cache on CPU: leaving
+    it enabled makes every LATER large XLA:CPU compile in the process
+    attempt an executable serialization into the cache dir — measured to
+    segfault the interpreter flakily (crash inside
+    compilation_cache.put_executable_and_time during an unrelated
+    solve); runs only 'passed' when the entries already existed so the
+    write path was skipped."""
+    global _persistent_enabled
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:
+        pass
+    _persistent_enabled = False
+
 # TPU scoped-VMEM limit for compiled solver programs, KiB. The compiler's
 # default stack limit is 16 MiB; our whole-lattice Pallas smoother kernels
 # need ~20 MiB of scoped VMEM when embedded in a full MG-cycle program
