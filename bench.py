@@ -261,12 +261,10 @@ def bench_stencil(L=256, stencil="wilson", dtype="complex64", reps=100,
             dense_bytes, 1.0)
     if (stencil == "wilson" and v.dtype == jnp.complex64 and ps._on_tpu()
             and ps._pick_tile_u(L)):
-        # ul (6 f32 link planes incl. the pre-shifted uym) is static per
-        # solve, so it is precomputed OUTSIDE the timed loop — the
-        # kernel then streams 7 complex-equivalent words/site while the
-        # roofline fraction is still charged on the 6-word minimum
-        # (u_bytes): the redundant uym plane costs the fraction, not the
-        # protocol.
+        # ul (4 half-scaled f32 link planes) is static per solve, so it
+        # is precomputed OUTSIDE the timed loop; the kernel streams the
+        # 6-complex-word minimum (u_bytes) plus ~2 plane-equivalents of
+        # compact gathered halos (ops/pallas_stencil._u_halos).
         ul = jax.jit(ps.u_link_planes)(U)
         paths["pallas_u"] = (
             lambda ul, v: ps.apply_wilson_u_pallas(None, cfg.m, v, ul=ul),

@@ -51,14 +51,12 @@ elif mode == "xlau":        # spin-projected links-only (XLA)
     args = (U, v)
     nbytes = (2 + 2*n) * L * L * 8
 elif mode == "pallas_u":    # spin-projected links-only (Pallas tiled)
-    # ul (6 f32 link planes incl. pre-shifted uym) precomputed OUTSIDE
-    # the timed loop, as the bench does; min-traffic bytes stay the
-    # 6-word honest minimum
+    # ul (4 half-scaled link planes) precomputed OUTSIDE the timed
+    # loop, as the bench does; min-traffic bytes stay the 6-word honest
+    # minimum
     ul = jax.jit(ps.u_link_planes)(U)
-    f = lambda ul, v: ps.apply_wilson_u_pallas(None, cfg.m, v, ul=ul)
-    if TX:
-        f = lambda ul, v: ps.apply_wilson_u_pallas(None, cfg.m, v, TX=TX,
-                                                   ul=ul)
+    f = lambda ul, v: ps.apply_wilson_u_pallas(None, cfg.m, v,
+                                               TX=TX or None, ul=ul)
     args = (ul, v)
     nbytes = (2 + 2*n) * L * L * 8
 else:

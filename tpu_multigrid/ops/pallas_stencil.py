@@ -486,31 +486,31 @@ def smooth_pallas_tiled(D, D0inv, phi, r, n_sweeps: int = 1,
 #
 # Level-0 fast path: the Wilson hop matrices are rank-1 spinor projectors
 # ⊗ a U(1) phase (reference level.h:155-172; ops/gauge_stencil.py has the
-# math and the XLA twin), so the operator streams 4 complex link planes
-# instead of the 20 dense-D planes. Operand layout (round 5, after the
-# round-4 tuning finding that 14 small operands bound the pipeline):
-#   ul [6, L, L] f32 — [uxr, uxi, uyr, uyi, uymr, uymi] where uym is the
-#       y-1-shifted uy plane, PRE-shifted outside the kernel: the -y hop
-#       needs U_y(x, y-1), and shifting links outside removes 2 of the 6
-#       in-kernel lane rolls (the VPU cost that capped round 4 at 0.33
-#       of roofline, PERF.md §8b).
+# math and the XLA twin), so the operator streams 2 complex link planes
+# instead of the 20 dense-D planes. Operand layout (round 5, measured on
+# hardware — see docs/PERF.md §8b):
+#   ul [4, L, L] f32 — [uxr, uxi, uyr, uyi] × 0.5 (the hop's 1/2 factor
+#       is folded into the static link planes at trace time).
 #   vp [4, L, L] f32 — [v0r, v1r, v0i, v1i] spinor planes.
-# Remaining in-kernel lane rolls: 4 (the ±y shifts of the two combined
-# half-spinor fields — irreducible without extra HBM traffic).
+# Round-4 shipped 14 small operands (0.33 of roofline); a round-5
+# pre-shifted-uym 6-plane variant measured the levers on hardware:
+# in-kernel lane rolls, x-splices and the complex arithmetic are each
+# FREE (removing all rolls changed timing by 0.3%), the pipeline is
+# DMA-bound — so uym is recomputed in-kernel by a (free) roll and the
+# streamed planes are exactly the 12-plane minimum (ul 4 + vp 4 +
+# out 4) plus three small 8-row halo blocks.
 
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
 def u_link_planes(U: jnp.ndarray) -> jnp.ndarray:
-    """U [2,L,L] complex -> ul [6,L,L] f32 (see layout note above).
+    """U [2,L,L] complex -> ul [4,L,L] f32 = 0.5*[uxr, uxi, uyr, uyi].
     Traced (XLA) — called once per smooth/apply wrapper, outside the
-    sweep loop, so the shift+split pass amortizes over sweeps."""
-    ux, uy = U[0], U[1]
-    uym = jnp.roll(uy, 1, axis=-1)
+    sweep loop, so the split pass amortizes over sweeps."""
+    ux, uy = 0.5 * U[0], 0.5 * U[1]
     return jnp.stack([jnp.real(ux), jnp.imag(ux), jnp.real(uy),
-                      jnp.imag(uy), jnp.real(uym), jnp.imag(uym)]
-                     ).astype(jnp.float32)
+                      jnp.imag(uy)]).astype(jnp.float32)
 
 
 def _v_planes(v: jnp.ndarray) -> jnp.ndarray:
@@ -519,42 +519,63 @@ def _v_planes(v: jnp.ndarray) -> jnp.ndarray:
                            ).astype(jnp.float32)
 
 
+# Halo delivery note (round-5 tuning archaeology, measured on v5e at
+# L=4096/TX=128): the wrapped MODULAR halo index maps below cost ~30%
+# of pipeline throughput (2858 us vs 1997 us with halos pinned to a
+# static block — wrong math, identical DMA volume). Every realizable
+# affine-halo scheme nets ZERO on this XLA/Mosaic version, so the
+# modular maps stay: (a) TX-left-padded operands — the pad concat does
+# NOT fuse into the plane-split pass (+8 plane-passes, 3703 us);
+# (b) jnp row-gather compact halo arrays — pathological gather
+# lowering (3796 us); (c) strided-slice + block-roll compact halo
+# arrays — build cost equals the pipelining gain (2920 us). The
+# remaining structural ceiling is the DMA pipeline itself: a pure-DMA
+# twin of this kernel (no shifts/arithmetic) runs at 0.68 of peak
+# independent of TX and dimension_semantics, vs ~0.81 for the dense
+# kernel's 2x-larger per-step volume; TX=256 exceeds even a 112 MiB
+# scoped-VMEM limit. See docs/PERF.md §8b for the full account.
+
+
 def _v_unplanes(p: jnp.ndarray, dtype) -> jnp.ndarray:
     return (p[:2] + 1j * p[2:]).astype(dtype)
 
 
-def _u_hop_core(ul6, cmb, yshift):
-    """Spin-projected hop from 6 link planes + shifted combined fields.
+def _u_hop_core(ul4, cmb, yshift):
+    """Spin-projected hop from 4 half-scaled link planes + shifted
+    combined fields.
 
-    ul6: (uxr, uxi, uyr, uyi, uymr, uymi) planes.
+    ul4: (uxr, uxi, uyr, uyi) planes, PRE-multiplied by 0.5.
     cmb: dict with the x-shifted combined fields and uxm planes
          (built by the caller: whole-lattice rolls or tile splices).
-    yshift(p, up): lane shift — up=True gives value at y+1.
+    yshift(p, up): lane shift — up=True gives value at y+1 (measured
+    free on v5e; the kernel is DMA-bound).
     Returns (h0r, h1r, h0i, h1i) matching the vp plane order.
     """
-    uxr, uxi, uyr, uyi, uymr, uymi = ul6
-    # +x: h_a = ux * (v0 - v1)(x+1)
+    uxr, uxi, uyr, uyi = ul4
+    uymr = yshift(uyr, False)       # U_y at y-1, recomputed (free)
+    uymi = yshift(uyi, False)
+    # +x: h_a = ux/2 * (v0 - v1)(x+1)
     har, hai = _cmul(uxr, uxi, cmb["ar"], cmb["ai"])
-    # -x: h_b = conj(ux(x-1)) * (v0 + v1)(x-1)
+    # -x: h_b = conj(ux(x-1))/2 * (v0 + v1)(x-1)
     hbr, hbi = _cmul(cmb["uxmr"], -cmb["uxmi"], cmb["br"], cmb["bi"])
-    # +y: h_c = uy * (v0 + i v1)(y+1)
+    # +y: h_c = uy/2 * (v0 + i v1)(y+1)
     hcr, hci = _cmul(uyr, uyi, yshift(cmb["cr"], True),
                      yshift(cmb["ci"], True))
-    # -y: h_d = conj(uy(y-1)) * (v0 - i v1)(y-1); uym pre-shifted
+    # -y: h_d = conj(uy(y-1))/2 * (v0 - i v1)(y-1)
     hdr, hdi = _cmul(uymr, -uymi, yshift(cmb["dr"], False),
                      yshift(cmb["di"], False))
-    h0r = 0.5 * (har + hbr + hcr + hdr)
-    h0i = 0.5 * (hai + hbi + hci + hdi)
-    # h1 = 0.5*(-ha + hb - i*hc + i*hd);  -i*h = (hi, -hr), +i*h = (-hi, hr)
-    h1r = 0.5 * (-har + hbr + hci - hdi)
-    h1i = 0.5 * (-hai + hbi - hcr + hdr)
+    h0r = har + hbr + hcr + hdr
+    h0i = hai + hbi + hci + hdi
+    # h1 = -ha + hb - i*hc + i*hd;  -i*h = (hi, -hr), +i*h = (-hi, hr)
+    h1r = -har + hbr + hci - hdi
+    h1i = -hai + hbi - hcr + hdr
     return h0r, h1r, h0i, h1i
 
 
 def _u_hop_vmem(ul_ref, vp):
     """Whole-lattice hop: x shifts are sublane rolls, y shifts lane rolls."""
     L = vp[0].shape[-1]
-    ul6 = tuple(ul_ref[k] for k in range(6))
+    ul4 = tuple(ul_ref[k] for k in range(4))
     v0r, v1r, v0i, v1i = vp
 
     def xp(p):
@@ -566,7 +587,7 @@ def _u_hop_vmem(ul_ref, vp):
     cmb = dict(
         ar=xp(v0r - v1r), ai=xp(v0i - v1i),
         br=xm(v0r + v1r), bi=xm(v0i + v1i),
-        uxmr=xm(ul6[0]), uxmi=xm(ul6[1]),
+        uxmr=xm(ul4[0]), uxmi=xm(ul4[1]),
         cr=v0r - v1i, ci=v0i + v1r,
         dr=v0r + v1i, di=v0i - v1r,
     )
@@ -574,15 +595,17 @@ def _u_hop_vmem(ul_ref, vp):
     def yshift(p, up):
         return pltpu.roll(p, L - 1 if up else 1, 1)
 
-    return _u_hop_core(ul6, cmb, yshift)
+    return _u_hop_core(ul4, cmb, yshift)
 
 
 def _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref):
     """One x-tile hop: x shifts splice 8-row-aligned wrapped halo blocks
     (see _tiled_apply_kernel for the alignment rationale), y shifts are
-    in-tile lane rolls (periodic: the tile spans the full y extent)."""
+    in-tile lane rolls (periodic: the tile spans the full y extent).
+    uld_ref [2, 8, L]: the 8-row block holding the wrapped x-1 link row
+    (ux planes only)."""
     L = vp[0].shape[-1]
-    ul6 = tuple(ul_ref[k] for k in range(6))
+    ul4 = tuple(ul_ref[k] for k in range(4))
     v0r, v1r, v0i, v1i = vp
 
     def sxp(t, h):      # value at x+1: halo row 0 of the up block
@@ -598,8 +621,8 @@ def _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref):
         ai=sxp(v0i - v1i, up[2, 0:1] - up[3, 0:1]),
         br=sxm(v0r + v1r, dn[0, 7:8] + dn[1, 7:8]),
         bi=sxm(v0i + v1i, dn[2, 7:8] + dn[3, 7:8]),
-        uxmr=sxm(ul6[0], uld_ref[0, 7:8]),
-        uxmi=sxm(ul6[1], uld_ref[1, 7:8]),
+        uxmr=sxm(ul4[0], uld_ref[0, 7:8]),
+        uxmi=sxm(ul4[1], uld_ref[1, 7:8]),
         cr=v0r - v1i, ci=v0i + v1r,
         dr=v0r + v1i, di=v0i - v1r,
     )
@@ -607,7 +630,7 @@ def _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref):
     def yshift(p, up_):
         return pltpu.roll(p, L - 1 if up_ else 1, 1)
 
-    return _u_hop_core(ul6, cmb, yshift)
+    return _u_hop_core(ul4, cmb, yshift)
 
 
 def _u_out(mode, m, vp, h, rp=None, mask=None):
@@ -672,7 +695,9 @@ def _u_smooth_vmem_kernel(m, n_sweeps, kind, ul_ref, rp_ref, vp_ref, o_ref):
 def _u_apply_tile_kernel(m, ul_ref, uld_ref, vp_ref, up_ref, dn_ref, o_ref):
     vp = tuple(vp_ref[k] for k in range(4))
     h = _u_hop_tile(ul_ref, uld_ref, vp, up_ref, dn_ref)
-    o_ref[:] = jnp.stack(_u_out("apply", m, vp, h))
+    out = _u_out("apply", m, vp, h)
+    for k in range(4):          # per-plane writes: no 4-plane stack temp
+        o_ref[k] = out[k]
 
 
 def _u_resid_tile_kernel(m, ul_ref, uld_ref, vp_ref, up_ref, dn_ref,
@@ -703,7 +728,7 @@ def _u_update_tile_kernel(m, TX, color, ul_ref, uld_ref, rp_ref, vp_ref,
 
 # -- wrappers & dispatch --
 
-U_VMEM_PLANES = 18      # ul 6 + vp 4 + rp 4 + out 4
+U_VMEM_PLANES = 16      # ul 4 + vp 4 + rp 4 + out 4
 
 
 def u_fits_vmem(L: int) -> bool:
@@ -711,25 +736,31 @@ def u_fits_vmem(L: int) -> bool:
 
 
 def _pick_tile_u(L: int) -> int:
-    """Row tile for the links-only tiled kernels (~18 f32 [TX, L] planes
-    + 14 8-row halo planes per grid step)."""
+    """Row tile for the links-only tiled kernels (~16 f32 [TX, L] planes
+    + 10 8-row halo planes per grid step)."""
     for tx in _tile_candidates(L, 256):
-        if 4 * L * (18 * tx + 14 * 8) <= int(0.5 * VMEM_BYTES):
+        if 4 * L * (16 * tx + 10 * 8) <= int(0.5 * VMEM_BYTES):
             return tx
     return 0
 
 
 def _u_tile_specs(TX: int, L: int):
-    ulspec = pl.BlockSpec((6, TX, L), lambda i: (0, i, 0),
+    """BlockSpecs over the packed [4, L, L] plane arrays; halo 8-row
+    blocks use wrapped modular index maps into the SAME arrays (uld
+    reads the first dim-0 block — the ux planes — of ul). See the halo
+    delivery note above for why the modular maps stay."""
+    ulspec = pl.BlockSpec((4, TX, L), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    uldspec = pl.BlockSpec((6, 8, L),
+    uldspec = pl.BlockSpec((2, 8, L),
                            lambda i: (0, ((i * TX - 8) % L) // 8, 0),
                            memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((4, TX, L), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-    hup = pl.BlockSpec((4, 8, L), lambda i: (0, ((i * TX + TX) % L) // 8, 0),
+    hup = pl.BlockSpec((4, 8, L),
+                       lambda i: (0, ((i * TX + TX) % L) // 8, 0),
                        memory_space=pltpu.VMEM)
-    hdn = pl.BlockSpec((4, 8, L), lambda i: (0, ((i * TX - 8) % L) // 8, 0),
+    hdn = pl.BlockSpec((4, 8, L),
+                       lambda i: (0, ((i * TX - 8) % L) // 8, 0),
                        memory_space=pltpu.VMEM)
     return ulspec, uldspec, vspec, hup, hdn
 
@@ -747,9 +778,11 @@ def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
     """x-tiled spin-projected Wilson SpMV; U [2,L,L] c64, v [2,L,L] c64.
 
     Identical math to ops.gauge_stencil.apply_wilson_u (and therefore to
-    apply_D on the assembled dense stencil); streams 6 link planes
-    instead of the 40 dense-D planes. With r, returns r - D v (fused
-    residual, no extra pass). ul: precomputed u_link_planes(U).
+    apply_D on the assembled dense stencil); streams 2 complex link
+    planes instead of the 20 dense-D planes. With r, returns r - D v
+    (fused residual, no extra pass). ul: precomputed
+    u_link_planes_padded(U, TX) — pass it (with an explicit TX) to hoist
+    the static link-plane build out of a timed loop.
     """
     L = v.shape[-1]
     TX = _u_check_tile(L, TX)
@@ -757,11 +790,12 @@ def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
     ul = u_link_planes(U) if ul is None else ul
     vp = _v_planes(v)
     ulspec, uldspec, vspec, hup, hdn = _u_tile_specs(TX, L)
+    out_sd = jax.ShapeDtypeStruct((4, L, L), jnp.float32)
     if r is None:
         out = pl.pallas_call(
             functools.partial(_u_apply_tile_kernel, m),
             grid=grid,
-            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            out_shape=out_sd,
             in_specs=[ulspec, uldspec, vspec, hup, hdn],
             out_specs=vspec,
         )(ul, ul, vp, vp, vp)
@@ -769,7 +803,7 @@ def apply_wilson_u_pallas(U: jnp.ndarray, m: float, v: jnp.ndarray,
         out = pl.pallas_call(
             functools.partial(_u_resid_tile_kernel, m),
             grid=grid,
-            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            out_shape=out_sd,
             in_specs=[ulspec, uldspec, vspec, hup, hdn, vspec],
             out_specs=vspec,
         )(ul, ul, vp, vp, vp, _v_planes(r))
@@ -828,7 +862,9 @@ def wilson_u_smooth_pallas_tiled(U, m, phi, r, n_sweeps: int = 1,
                                  kind: str = "jacobi",
                                  TX: int | None = None):
     """n_sweeps x-tiled links-only smoother sweeps (one pallas_call per
-    colored pass so cross-tile halos always read the updated field)."""
+    colored pass so cross-tile halos always read the updated field; the
+    updated field is re-padded between passes — an extra copy the
+    affine-halo pipelining more than pays for, see _v_planes_padded)."""
     L = phi.shape[-1]
     TX = _u_check_tile(L, TX)
     grid = (L // TX,)
@@ -842,7 +878,7 @@ def wilson_u_smooth_pallas_tiled(U, m, phi, r, n_sweeps: int = 1,
         return pl.pallas_call(
             kern,
             grid=grid,
-            out_shape=jax.ShapeDtypeStruct(vp.shape, jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((4, L, L), jnp.float32),
             in_specs=[ulspec, uldspec, vspec, vspec, hup, hdn],
             out_specs=vspec,
         )(ul, ul, rp, vp, vp, vp)
