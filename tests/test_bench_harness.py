@@ -20,7 +20,18 @@ def bench(tmp_path, monkeypatch):
     monkeypatch.setattr(b, "RUNG_DIR", str(tmp_path / "rungs"))
     # isolate from live bench/patient-runner partials in the real /tmp
     monkeypatch.setattr(b, "PARTIAL_DIR", str(tmp_path))
+    # rung banking is opt-in (--bank / BENCH_BANK=1; driver laps run
+    # without it so they never dirty the committed bench_rungs/)
+    monkeypatch.setenv("BENCH_BANK", "1")
     return b
+
+
+def test_save_rung_requires_banking(bench, monkeypatch):
+    """Without BENCH_BANK=1 (the driver's post-commit lap), successful
+    measurements are NOT persisted into bench_rungs/."""
+    monkeypatch.delenv("BENCH_BANK")
+    bench._save_rung("stencil", {"nnz_per_s": 1e11})
+    assert bench._load_rung("stencil") is None
 
 
 def test_rung_roundtrip(bench):

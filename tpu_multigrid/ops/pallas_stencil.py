@@ -736,10 +736,17 @@ def u_fits_vmem(L: int) -> bool:
 
 
 def _pick_tile_u(L: int) -> int:
-    """Row tile for the links-only tiled kernels (~16 f32 [TX, L] planes
-    + 10 8-row halo planes per grid step)."""
+    """Row tile for the links-only tiled kernels: ~12 f32 [TX, L] planes
+    + 10 8-row halo planes per grid step, double-buffered by the
+    pipeline — budgeted against the raised scoped-VMEM limit
+    utils/compile.aot_call requests (TX sweep on v5e: TX=256 at L=2048
+    and TX=128 at L=4096 are the measured best AND the largest that
+    compile; the old 0.5x16MiB budget picked 4x smaller tiles)."""
+    from ..utils.compile import SCOPED_VMEM_KIB
+    scoped = (SCOPED_VMEM_KIB * 1024) or VMEM_BYTES
+    budget = int(0.8 * scoped) // 2       # /2: double buffering
     for tx in _tile_candidates(L, 256):
-        if 4 * L * (16 * tx + 10 * 8) <= int(0.5 * VMEM_BYTES):
+        if 4 * L * (12 * tx + 10 * 8) <= budget:
             return tx
     return 0
 

@@ -146,6 +146,14 @@ def site_inverse(M: jnp.ndarray) -> jnp.ndarray:
     n = M.shape[0]
     if n == 1:
         return 1.0 / M
+    if n == 2:
+        # closed form: the batched-LU path pads the [L,L,2,2] layout 64x
+        # on TPU (measured: 24 GB of HLO temps at L=2048 -> HBM OOM)
+        a, b = M[0, 0], M[0, 1]
+        c, d = M[1, 0], M[1, 1]
+        det = a * d - b * c
+        return jnp.stack([jnp.stack([d, -b]),
+                          jnp.stack([-c, a])]) / det
     # Move dof axes last for batched linalg: [L,L,n,n]
     Mm = jnp.moveaxis(M, (0, 1), (-2, -1))
     inv = jnp.linalg.inv(Mm)

@@ -94,9 +94,12 @@ def disable_persistent_cache() -> None:
 # need ~20 MiB of scoped VMEM when embedded in a full MG-cycle program
 # (observed: rbgs at n=4, L=128 inside solve_chunked asks for 19.43M and
 # the compile fails deterministically under the default limit). v5e has
-# 128 MiB of physical VMEM per core; 64 MiB leaves ample room for XLA's
-# own prefetch buffers. Override with TPU_MG_SCOPED_VMEM_KIB=0 to disable.
-SCOPED_VMEM_KIB = int(os.environ.get("TPU_MG_SCOPED_VMEM_KIB", 65536))
+# 128 MiB of physical VMEM per core; 96 MiB (raised from 64 in r5 — the
+# double-buffered links kernel at TX=128/L=4096 needs ~70 MiB, and the
+# whole r5 kernel-tuner sweep compiled and validated at 96 MiB) still
+# leaves room for XLA's own prefetch buffers. Override with
+# TPU_MG_SCOPED_VMEM_KIB=0 to disable.
+SCOPED_VMEM_KIB = int(os.environ.get("TPU_MG_SCOPED_VMEM_KIB", 98304))
 
 
 def _tpu_compiler_options():
