@@ -817,15 +817,19 @@ def bench_ensemble(B=8, L=128, tries=2):
             _sync_hier(hier_w)
             t_setup_warm = time.perf_counter() - t0
             del hier_w
+            # 18 cycles (r4 used 15): the worst config then sits ~10x
+            # under the 1e-5 bar instead of 2x (VERDICT r4 weak #6 —
+            # one bad draw from a false failure)
+            n_cyc = 18
             t0 = time.perf_counter()
-            phi, res = ens.solve_ensemble(hier_b, bs, cfg, n_cycles=15)
+            phi, res = ens.solve_ensemble(hier_b, bs, cfg, n_cycles=n_cyc)
             t_cold = time.perf_counter() - t0
             t0 = time.perf_counter()
-            phi, res = ens.solve_ensemble(hier_b, bs, cfg, n_cycles=15)
+            phi, res = ens.solve_ensemble(hier_b, bs, cfg, n_cycles=n_cyc)
             t_warm = time.perf_counter() - t0
             if not np.all(np.isfinite(res)):
                 raise RuntimeError("non-finite ensemble residuals")
-            return {"B": B, "L": L, "dtype": "complex64", "n_cycles": 15,
+            return {"B": B, "L": L, "dtype": "complex64", "n_cycles": n_cyc,
                     "max_rel_res": float(np.max(res)),
                     "all_below_1e-5": bool(np.max(res) < 1e-5),
                     "setup_seconds": t_setup,
@@ -1265,6 +1269,11 @@ def _watchdog():
 
 
 def _write_details(details):
+    # Same gating as _save_rung: the committed bench_details.json is
+    # written only by in-round --bank runs, so the driver's post-commit
+    # lap leaves the tree clean (VERDICT r4 weak #2).
+    if os.environ.get("BENCH_BANK") != "1":
+        return
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2, default=float)
 

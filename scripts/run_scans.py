@@ -56,11 +56,56 @@ def _our_point(cfg, U, max_iters=3000, chunk=None):
             "seconds": time.time() - t0}
 
 
+def near_critical_copies():
+    """C2: NTL copies NEAR CRITICALITY (m=-0.018 on beta=32 where
+    m_c ~= -0.021): notebook 2c_'s regime where the quadrant copies
+    genuinely differentiate (at comfortable masses all variants tie —
+    scan C and the compiled reference both show that). Appends a
+    C2 section to scans.json."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import tpu_multigrid as mg
+    from tpu_multigrid.models import gauge
+
+    L, m = 64, -0.018
+    theta = gauge.heatbath_ensemble(L, 32.0, 100, 4302529)
+    U = gauge.gauge_from_phases(theta, np.complex128)
+    rows = []
+    base = mg.MGConfig(L=L, stencil="wilson", m=m, nlevels=3,
+                       num_iters=10, null_iters=500, smoother="rbgs",
+                       res_threshold=1e-11, dtype="complex128")
+    for kind, cfg in [("telescoping", base)] + [
+            (f"ntl_{nc}copy", base.replace(ntl=True, n_copies=nc))
+            for nc in (1, 2, 3, 4)]:
+        row = _our_point(cfg, U, max_iters=400)
+        row["kind"] = kind
+        rows.append(row)
+        print(f"[C2] {kind}: {row['iters']} cycles "
+              f"(conv={row['converged']})", flush=True)
+    d = json.load(open(OUT))
+    d["C2_ntl_copies_near_critical"] = {
+        "config": f"wilson L={L}, m={m} (m_c ~= -0.021 at beta=32), "
+                  "nlevels=3, num_iters=10, res 1e-11", "rows": rows}
+    iters = {r["kind"]: r["iters"] for r in rows}
+    d["trends"]["ntl_copies_near_critical"] = iters
+    d["trends"]["ntl_near_critical_4_lt_tl"] = bool(
+        iters.get("ntl_4copy", 10**9) <= iters.get("telescoping", 0))
+    with open(OUT, "w") as f:
+        json.dump(d, f, indent=1, default=float)
+    print(f"updated {OUT}")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--near-critical", action="store_true",
+                    help="run only the C2 near-critical copies scan")
     args = ap.parse_args()
+    if args.near_critical:
+        return near_critical_copies()
 
     import jax
     jax.config.update("jax_platforms", "cpu")

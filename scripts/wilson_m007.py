@@ -176,7 +176,9 @@ def part_b(L=128, fast=False):
     sec = time.time() - t0
     row = {"platform": plat, "L": L, "beta": 32.0, "m": M,
            "indefinite": True,
-           "min_re_lambda_L32": float(-0.02104 - M),
+           # min Re lambda(m) = min Re lambda(0) + m = +0.02104 + m
+           # (the L=32 beta=32 spectrum floor from beta_scan)
+           "min_re_lambda_at_m_L32": float(0.02104 + M),
            "solver": "cgnr + f64-plane defect correction",
            "rel_residual": out["rel"], "inner_iters": out["inner_iters"],
            "outer_steps": out["outer"], "seconds_total": sec,

@@ -113,3 +113,29 @@ def test_persistent_compile_cache(tmp_path):
         assert os.listdir(path), "no cache entries written"
     finally:
         uc.disable_persistent_cache()
+
+
+def test_checkpoint_preserves_gauge_links(tmp_path):
+    """Hierarchies carrying gauge links (the level-0 links fast path)
+    keep them through the npz checkpoint roundtrip."""
+    import jax.numpy as jnp
+    import numpy as np
+    import tpu_multigrid as mg
+    from tpu_multigrid.models import gauge, operators
+    from tpu_multigrid.utils.checkpoint import (save_solver_state,
+                                                load_solver_state)
+
+    cfg = mg.MGConfig(L=16, stencil="wilson", m=-0.005, nlevels=2,
+                      num_iters=4, null_iters=16, dtype="complex64")
+    U = gauge.gauge_from_phases(
+        0.2 * np.random.default_rng(1).normal(size=(2, 16, 16)),
+        cfg.cdtype)
+    D = operators.assemble("wilson", U, cfg.m)
+    hier = mg.build_hierarchy(D, cfg, check=False, U=U)
+    phis = mg.zero_fields(cfg)
+    p = str(tmp_path / "st.npz")
+    save_solver_state(p, cfg, hier, phis, 3, 0.5)
+    h2, _, it, res = load_solver_state(p, cfg)
+    assert h2.gauge is not None
+    np.testing.assert_allclose(np.asarray(jnp.abs(h2.gauge)),
+                               np.asarray(jnp.abs(hier.gauge)), atol=1e-6)

@@ -27,7 +27,7 @@ from .solver.eo import eo_mr_solve
 from .solver.krylov import fgmres_solve, cgnr_solve, cgnr_solve_ir
 from .solver import eigs
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 
 def enable_f64():

@@ -229,7 +229,8 @@ def main(argv=None):
         phi_null_init = tuple(device_complex(a, cfg.cdtype) for a in arrs)
 
     t0 = time.time()
-    hier = mg.build_hierarchy(D, cfg, phi_null_init=phi_null_init)
+    # U= -> level-0 links-only fast path in complex64 solves (cfg.links)
+    hier = mg.build_hierarchy(D, cfg, phi_null_init=phi_null_init, U=U)
     print(f"setup done in {time.time() - t0:.1f}s")
 
     if cfg.gen_null and ns.checkpoint:
@@ -244,7 +245,8 @@ def main(argv=None):
     if not ns.skip_tests:
         checks = mg.testing.run_mg_tests(hier, cfg)
         worst = max(checks.values())
-        bad = {k: v for k, v in checks.items() if v > mg.testing.EPSILON}
+        bad = {k: v for k, v in checks.items()
+               if v > mg.testing.epsilon_for(cfg)}
         print(f"self-tests: {len(checks)} checks, worst {worst:.3e}"
               + (f"  FAILURES: {bad}" if bad else "  (all pass)"))
 

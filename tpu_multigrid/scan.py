@@ -88,7 +88,7 @@ def run_point(cfg, gauge_kind: str, heatbath_sweeps: int, out_dir: str):
     D = mg.models.operators.assemble(cfg.stencil, U, cfg.m)
 
     t0 = time.time()
-    hier = mg.build_hierarchy(D, cfg, check=False)
+    hier = mg.build_hierarchy(D, cfg, check=False, U=U)
     t_setup = time.time() - t0
     b = mg.point_source(cfg)
     t0 = time.time()

@@ -147,10 +147,18 @@ def _setup_level(D, cfg: MGConfig, lvl: int, quad: int, key,
     if check:
         _check_block_norms_host(phi_null, quad, bx, by, f"level {lvl} norm")
         worst = float(worst)
-        if worst > 1e-10:
+        if worst > _ortho_tol(cfg):
             raise FloatingPointError(
                 f"near-null rows not orthogonal at level {lvl}: {worst:.3e}")
     return D0inv, phi_null, Dc
+
+
+def _ortho_tol(cfg: MGConfig) -> float:
+    """Orthogonality-check bar, dtype-aware: the reference's 1e-12 class
+    guard (f_check_ortho, near_null.h:175-214) presumes double; a
+    healthy complex64 double-Gram-Schmidt lands at ~1e-7 (f32 eps *
+    block size), so c64 setups get a correspondingly scaled bar."""
+    return 1e-10 if cfg.dtype == "complex128" else 1e-5
 
 
 def build_hierarchy(D0: jnp.ndarray, cfg: MGConfig, key=None,
@@ -228,7 +236,7 @@ def build_ntl(levels, cfg: MGConfig, check: bool = True) -> NTLOps:
     if check:
         import numpy as _np
         w = _np.asarray(worsts)
-        if (w > 1e-10).any():
+        if (w > _ortho_tol(cfg)).any():
             raise FloatingPointError(f"NTL copies not orthogonal: {w}")
     return ntl
 

@@ -17,7 +17,15 @@ from .ops.stencil import apply_D, shift
 from .ops.transfer import restrict, prolong
 from .solver.hierarchy import Hierarchy
 
-EPSILON = 1.0e-12
+EPSILON = 1.0e-12       # reference tests.h tolerance (double precision)
+
+
+def epsilon_for(cfg) -> float:
+    """Self-test tolerance for the run's dtype: the reference's 1e-12
+    (tests.h:10) presumes double; complex64 hierarchies pass the same
+    structural checks at f32 rounding scale (~1e-4, the bar the on-TPU
+    numerics artifact uses)."""
+    return EPSILON if cfg.dtype == "complex128" else 1.0e-4
 
 
 def test1_restriction_prolongation(phi_null, vec_c, quad, bx, by):

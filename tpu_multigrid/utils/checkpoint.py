@@ -32,6 +32,8 @@ def save_solver_state(path: str, cfg: MGConfig, hier: Hierarchy, phis,
         arrs["ntl_phi_null"] = host_complex(hier.ntl.phi_null)
         arrs["ntl_D"] = host_complex(hier.ntl.D)
         arrs["ntl_D0inv"] = host_complex(hier.ntl.D0inv)
+    if hier.gauge is not None:
+        arrs["gauge_U"] = host_complex(hier.gauge)
     for l, p in enumerate(phis):
         arrs[f"phi_{l}"] = host_complex(p)
     meta = {"iter": it, "resmag": resmag, "nlevels": cfg.nlevels,
@@ -63,7 +65,9 @@ def load_solver_state(path: str, cfg: MGConfig) -> Tuple[Hierarchy, tuple,
                          D0inv=device_complex(z["ntl_D0inv"], None))
         phis = tuple(device_complex(z[f"phi_{l}"], None)
                      for l in range(cfg.nlevels + 1))
-    return (Hierarchy(levels=tuple(levels), ntl=ntl), phis,
+        gauge = (device_complex(z["gauge_U"], None)
+                 if "gauge_U" in z.files else None)
+    return (Hierarchy(levels=tuple(levels), ntl=ntl, gauge=gauge), phis,
             int(meta["iter"]), float(meta["resmag"]))
 
 
@@ -74,6 +78,7 @@ def _state_pytree(hier: Hierarchy, phis, it: int, resmag: float):
             "ntl": (None if hier.ntl is None else
                     {"phi_null": hier.ntl.phi_null, "D": hier.ntl.D,
                      "D0inv": hier.ntl.D0inv}),
+            "gauge": hier.gauge,
             "phis": list(phis),
             "iter": it, "resmag": resmag}
 
@@ -106,8 +111,8 @@ def load_solver_state_orbax(path: str, hier_like: Hierarchy, phis_like
     ntl = (None if st["ntl"] is None else
            NTLOps(phi_null=st["ntl"]["phi_null"], D=st["ntl"]["D"],
                   D0inv=st["ntl"]["D0inv"]))
-    return (Hierarchy(levels=levels, ntl=ntl), tuple(st["phis"]),
-            int(st["iter"]), float(st["resmag"]))
+    return (Hierarchy(levels=levels, ntl=ntl, gauge=st.get("gauge")),
+            tuple(st["phis"]), int(st["iter"]), float(st["resmag"]))
 
 
 def solve_resumable(hier, b, cfg: MGConfig, path: str,
