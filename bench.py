@@ -625,16 +625,24 @@ def bench_solve256(tries=2):
             t0 = time.perf_counter()
             out = mg.solve_chunked(hier, b, cfg, max_iters=200, chunk=5)
             t_warm = time.perf_counter() - t0
-            # per-cycle on-chip time: one fused 20-cycle program (the
-            # chunked warm number above still pays a relay dispatch+fetch
-            # round trip per 5-cycle chunk, ~50-100 ms each); first call
-            # compiles, second is the measurement
-            n_fused = 20
-            mg.solve_chunked(hier, b, cfg, max_iters=n_fused, chunk=n_fused)
-            t0 = time.perf_counter()
-            mg.solve_chunked(hier, b, cfg, max_iters=n_fused, chunk=n_fused)
-            t_fused = time.perf_counter() - t0
-            sec_cyc = t_fused / n_fused
+            # per-cycle on-chip time, DIFFERENCED: a 24-cycle fused
+            # program minus a 12-cycle one cancels the relay
+            # dispatch+fetch round trip (~100 ms) that a single fused
+            # run smears over its cycles (the geo2048 lesson, PERF §8;
+            # r5 found the same artifact here: 9.2 "ms/cycle" vs the
+            # true 3.7 ms)
+            for n_f in (12, 24):
+                mg.solve_chunked(hier, b, cfg, max_iters=n_f, chunk=n_f)
+            ts = {}
+            for n_f in (12, 24):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    mg.solve_chunked(hier, b, cfg, max_iters=n_f,
+                                     chunk=n_f)
+                    best = min(best, time.perf_counter() - t0)
+                ts[n_f] = best
+            sec_cyc = max((ts[24] - ts[12]) / 12, 1e-9)
             return {"L": L, "dtype": "complex64", "cycles": out.iters,
                     "res": out.resmag, "converged": out.converged,
                     "setup_seconds": t_setup,
