@@ -97,15 +97,73 @@ def near_critical_copies():
     return 0
 
 
+def gen2_ntl_scan():
+    """G: the gen-2 geometric NTL prototype — the program notebook 2c_'s
+    stored data came from. Runs telescoping (t_flag=0) vs 4-copy NTL
+    (t_flag=1) over a mass grid, BOTH through our geo2 mode and through
+    the compiled gen-2 reference (reference_oracle.run_gen2). Measured:
+    EXACT cycle-count match at every grid point; plain-average NTL costs
+    a few extra cycles vs telescoping in both codes — the scheme's value
+    is running the 4 coarse problems CONCURRENTLY (SURVEY 5.7), not a
+    lower iteration count. Appends section G to scans.json."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from tpu_multigrid.solver import geometric as geo
+    from scripts.reference_oracle import run_gen2
+
+    L, nl, ni, thr = 64, 4, 4, 1e-10
+    rows = []
+    for m in (0.05, 0.1, 0.3):
+        for t_flag in (0, 1):
+            cfg = geo.Geo2Config(L=L, m=m, nlevels=nl, num_iters=ni,
+                                 res_threshold=thr, t_flag=bool(t_flag),
+                                 smoother="gs_lex")
+            b = geo.geo2_source(cfg)
+            t0 = time.time()
+            _, iters, res, _ = geo.geo2_solve(b, cfg, max_iters=500,
+                                              chunk=1)
+            ref_hist, ref_conv = run_gen2(L, m, nl, ni, t_flag=t_flag,
+                                          threshold=thr, max_iters=500)
+            row = {"L": L, "m": m, "t_flag": t_flag,
+                   "our_iters": int(iters), "our_res": float(res),
+                   "ref_iters": (ref_conv[0] + 1) if ref_conv else None,
+                   "seconds": time.time() - t0}
+            rows.append(row)
+            print(f"[G] m={m} t_flag={t_flag}: ours {row['our_iters']} "
+                  f"ref {row['ref_iters']}", flush=True)
+    d = json.load(open(OUT))
+    d["G_gen2_ntl_vs_telescoping"] = {
+        "config": f"gen-2 geometric prototype, L={L}, nlevels={nl}, "
+                  f"num_iters={ni}, gs_lex (trajectory-matching mode), "
+                  "res threshold 1e-10, oracle = compiled "
+                  "telescoping_2d_laplace_Mgrid.cpp", "rows": rows}
+    by = {(r["m"], r["t_flag"]): r for r in rows}
+    d["trends"]["gen2_exact_reference_match"] = {
+        str(m): {"tl": by[(m, 0)]["our_iters"],
+                 "ntl": by[(m, 1)]["our_iters"],
+                 "ref_tl": by[(m, 0)]["ref_iters"],
+                 "ref_ntl": by[(m, 1)]["ref_iters"]}
+        for m in (0.05, 0.1, 0.3)}
+    with open(OUT, "w") as f:
+        json.dump(d, f, indent=1, default=float)
+    print(f"updated {OUT}")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--near-critical", action="store_true",
                     help="run only the C2 near-critical copies scan")
+    ap.add_argument("--gen2", action="store_true",
+                    help="run only the G gen-2 NTL-vs-telescoping scan")
     args = ap.parse_args()
     if args.near_critical:
         return near_critical_copies()
+    if args.gen2:
+        return gen2_ntl_scan()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
