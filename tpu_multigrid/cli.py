@@ -103,6 +103,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the persistent on-disk XLA compilation "
                         "cache (utils.compile.enable_persistent_cache; "
                         "dir via TPU_MG_COMPILE_CACHE)")
+    p.add_argument("--links", choices=["auto", "on", "off"], default="auto",
+                   help="level-0 links-only (spin-projected) fast path: "
+                        "auto = complex64 only (default), on = any dtype, "
+                        "off = dense stencil everywhere")
+    p.add_argument("--no-halo-overlap", action="store_true",
+                   help="distributed solves: use the permute-then-concat "
+                        "halo baseline instead of the interior/boundary "
+                        "overlap schedule (parallel/halo.py)")
+    p.add_argument("--null-joint-qr", action="store_true",
+                   help="jointly orthonormalize near-null candidates "
+                        "during generation (robust on <=4^2 setup "
+                        "levels; see ops/nearnull.relax_null_vectors)")
     return p
 
 
@@ -123,7 +135,10 @@ def parse_args(argv):
         gen_null=bool(ns.gen_null),
         null_iters=ns.null_iters, res_threshold=ns.res_threshold,
         max_iters=ns.max_iters, quad=ns.quad, beta=ns.beta, seed=ns.seed,
-        dtype=ns.dtype, ndof_coarse=ns.ndof_coarse)
+        dtype=ns.dtype, ndof_coarse=ns.ndof_coarse,
+        links=getattr(ns, "links", "auto"),
+        halo_overlap=not getattr(ns, "no_halo_overlap", False),
+        null_joint_qr=getattr(ns, "null_joint_qr", False))
     return cfg, ns
 
 
